@@ -1,0 +1,171 @@
+"""Knowledge-graph triple tables.
+
+Host-side equivalent of the reference's native reader (OpenKE
+base/Reader.h:52-160) and of module/NegativeSampling.py:60-99's filter dicts,
+re-designed around *dense sorted key arrays* instead of hash maps so the same
+index works on device under jit:
+
+* membership of (h, r, t) == one ``searchsorted`` over an int64 key array;
+* per-(e, r) true-candidate sets are contiguous CSR ranges of the same array,
+  enabling the exact complement-order-statistic corruption of
+  OpenKE base/Corrupt.h:7-83 as a vectorized gather (see ops/sampling.py).
+
+Everything is one-time host preprocessing emitting int32/int64 numpy arrays;
+``DeviceKG`` mirrors the arrays as jnp for use inside jitted samplers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _pack(a: np.ndarray, b: np.ndarray, c: np.ndarray, nb: int, nc: int) -> np.ndarray:
+    """Pack three small non-negative int arrays into one sortable int64 key."""
+    return (a.astype(np.int64) * nb + b.astype(np.int64)) * nc + c.astype(np.int64)
+
+
+@dataclasses.dataclass(frozen=True)
+class TripleTable:
+    """Deduplicated triple store with sorted indexes (host, numpy)."""
+
+    n_entities: int
+    n_relations: int
+    triples: np.ndarray          # [T, 3] int32 rows (h, r, t), deduped
+    hrt_keys: np.ndarray         # [T] int64, sorted pack(h, r, t)
+    trh_keys: np.ndarray         # [T] int64, sorted pack(t, r, h)
+    hr_offsets: np.ndarray       # [E*R + 1] int32 CSR row offsets into hrt order
+    tr_offsets: np.ndarray       # [E*R + 1] int32 CSR row offsets into trh order
+    hrt_tails: np.ndarray        # [T] int32 tails in hrt-sorted order
+    trh_heads: np.ndarray        # [T] int32 heads in trh-sorted order
+    left_mean: np.ndarray        # [R] float32 avg #triples per distinct head (bern)
+    right_mean: np.ndarray       # [R] float32 avg #triples per distinct tail (bern)
+
+    @classmethod
+    def build(cls, triples: np.ndarray, n_entities: int, n_relations: int) -> "TripleTable":
+        triples = np.asarray(triples, dtype=np.int32).reshape(-1, 3)
+        h, r, t = triples[:, 0], triples[:, 1], triples[:, 2]
+        E, R = int(n_entities), int(n_relations)
+
+        hrt = _pack(h, r, t, R, E)
+        order = np.argsort(hrt, kind="stable")
+        hrt = hrt[order]
+        keep = np.ones(len(hrt), dtype=bool)
+        keep[1:] = hrt[1:] != hrt[:-1]
+        triples = triples[order][keep]
+        hrt = hrt[keep]
+        h, r, t = triples[:, 0], triples[:, 1], triples[:, 2]
+
+        trh = _pack(t, r, h, R, E)
+        trh_order = np.argsort(trh, kind="stable")
+        trh_sorted = trh[trh_order]
+
+        # CSR row offsets over the combined (entity, relation) id space.
+        hr_ids = h.astype(np.int64) * R + r
+        tr_ids = t[trh_order].astype(np.int64) * R + r[trh_order]
+        hr_offsets = np.zeros(E * R + 1, dtype=np.int64)
+        np.add.at(hr_offsets, hr_ids + 1, 1)
+        hr_offsets = np.cumsum(hr_offsets)
+        tr_offsets = np.zeros(E * R + 1, dtype=np.int64)
+        np.add.at(tr_offsets, tr_ids + 1, 1)
+        tr_offsets = np.cumsum(tr_offsets)
+
+        # Bernoulli corruption statistics (OpenKE base/Reader.h:141-158):
+        # left_mean[r]  = (#triples of r) / (#distinct heads of r)
+        # right_mean[r] = (#triples of r) / (#distinct tails of r)
+        freq = np.bincount(r, minlength=R).astype(np.float64)
+        hr_unique = np.unique(np.stack([r, h], 1), axis=0)
+        tr_unique = np.unique(np.stack([r, t], 1), axis=0)
+        n_heads = np.bincount(hr_unique[:, 0], minlength=R).astype(np.float64)
+        n_tails = np.bincount(tr_unique[:, 0], minlength=R).astype(np.float64)
+        left_mean = np.where(n_heads > 0, freq / np.maximum(n_heads, 1), 0.0)
+        right_mean = np.where(n_tails > 0, freq / np.maximum(n_tails, 1), 0.0)
+
+        return cls(
+            n_entities=E,
+            n_relations=R,
+            triples=triples,
+            hrt_keys=hrt,
+            trh_keys=trh_sorted,
+            hr_offsets=hr_offsets.astype(np.int64),
+            tr_offsets=tr_offsets.astype(np.int64),
+            hrt_tails=t.astype(np.int32),
+            trh_heads=h[trh_order].astype(np.int32),
+            left_mean=left_mean.astype(np.float32),
+            right_mean=right_mean.astype(np.float32),
+        )
+
+    # --- host-side queries (used by tests and CPU fallbacks) -------------
+
+    def contains(self, h, r, t) -> np.ndarray:
+        keys = _pack(np.asarray(h), np.asarray(r), np.asarray(t), self.n_relations, self.n_entities)
+        idx = np.searchsorted(self.hrt_keys, keys)
+        idx = np.minimum(idx, len(self.hrt_keys) - 1)
+        return self.hrt_keys[idx] == keys
+
+    def true_tails(self, h: int, r: int) -> np.ndarray:
+        row = int(h) * self.n_relations + int(r)
+        return self.hrt_tails[self.hr_offsets[row]:self.hr_offsets[row + 1]]
+
+    def true_heads(self, t: int, r: int) -> np.ndarray:
+        row = int(t) * self.n_relations + int(r)
+        return self.trh_heads[self.tr_offsets[row]:self.tr_offsets[row + 1]]
+
+    @property
+    def n_triples(self) -> int:
+        return len(self.triples)
+
+
+@dataclasses.dataclass(frozen=True)
+class DeviceKG:
+    """Device-resident mirror of the filter indexes (jnp arrays, pytree).
+
+    Registered as a pytree so it can be closed over / passed into jitted
+    samplers and evaluators.
+    """
+
+    n_entities: int
+    n_relations: int
+    triples: jnp.ndarray
+    hrt_keys: jnp.ndarray
+    trh_keys: jnp.ndarray
+    hr_offsets: jnp.ndarray
+    tr_offsets: jnp.ndarray
+    hrt_tails: jnp.ndarray
+    trh_heads: jnp.ndarray
+    left_mean: jnp.ndarray
+    right_mean: jnp.ndarray
+
+    @classmethod
+    def from_table(cls, t: TripleTable) -> "DeviceKG":
+        return cls(
+            n_entities=t.n_entities,
+            n_relations=t.n_relations,
+            triples=jnp.asarray(t.triples),
+            hrt_keys=jnp.asarray(t.hrt_keys),
+            trh_keys=jnp.asarray(t.trh_keys),
+            hr_offsets=jnp.asarray(t.hr_offsets),
+            tr_offsets=jnp.asarray(t.tr_offsets),
+            hrt_tails=jnp.asarray(t.hrt_tails),
+            trh_heads=jnp.asarray(t.trh_heads),
+            left_mean=jnp.asarray(t.left_mean),
+            right_mean=jnp.asarray(t.right_mean),
+        )
+
+
+def _kg_flatten(kg: DeviceKG):
+    children = (kg.triples, kg.hrt_keys, kg.trh_keys, kg.hr_offsets, kg.tr_offsets,
+                kg.hrt_tails, kg.trh_heads, kg.left_mean, kg.right_mean)
+    aux = (kg.n_entities, kg.n_relations)
+    return children, aux
+
+
+def _kg_unflatten(aux, children):
+    return DeviceKG(aux[0], aux[1], *children)
+
+
+import jax.tree_util  # noqa: E402
+
+jax.tree_util.register_pytree_node(DeviceKG, _kg_flatten, _kg_unflatten)

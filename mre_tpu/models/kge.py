@@ -1,0 +1,522 @@
+"""Knowledge-graph-embedding score functions, TPU-native.
+
+The full OpenKE model zoo (reference: OpenKE/openke/module/model/*.py —
+TransE, TransH, TransR, TransD, DistMult, ComplEx, RESCAL, Analogy, SimplE,
+RotatE, HolE) re-designed as *pure functions over parameter pytrees*:
+
+* ``init(key, n_ent, n_rel, dim)``  → params dict
+* ``score(params, h, r, t)``        → training-orientation score, broadcasting
+  over arbitrary index shapes (replaces OpenKE's flat head_batch/tail_batch
+  reshape gymnastics — rank-against-all-entities is just ``h[:, None]`` vs
+  ``t[None, :]``).
+* ``predict(params, h, r, t)``      → **lower-is-better** ranking score,
+  matching each reference model's ``predict()`` orientation so ranking
+  metrics are directly comparable.
+* optional ``score_all_tails/heads(params, h, r)`` — MXU matmul fast path for
+  bilinear models (DistMult/ComplEx/SimplE/Analogy/RESCAL/HolE) scoring every
+  entity with one [B, d] × [d, E] contraction.
+
+All gathers/compute stay in float32 by default (tables are small at dim≤200);
+training steps may cast activations to bfloat16 upstream.
+
+HolE implements circular correlation with ``jnp.fft`` — repairing the
+reference's dead ``torch.rfft`` path (OpenKE HolE.py:61-65, removed in
+torch≥1.8).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def xavier_uniform(key, shape, dtype=jnp.float32):
+    """xavier_uniform over the full table, matching torch's init of an
+    [rows, dim] embedding weight: limit = sqrt(6 / (rows + dim))."""
+    limit = float(np.sqrt(6.0 / (shape[0] + shape[-1])))
+    return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+
+def _norm(x, p, axis=-1):
+    if p == 1:
+        return jnp.sum(jnp.abs(x), axis=axis)
+    return jnp.sqrt(jnp.maximum(jnp.sum(x * x, axis=axis), 1e-30))
+
+
+def _l2n(x, axis=-1, eps=1e-12):
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
+
+
+@dataclasses.dataclass(frozen=True)
+class KGEModel:
+    name: str
+    init: Callable
+    score: Callable                 # training orientation (reference forward())
+    predict: Callable               # lower-is-better ranking orientation
+    regularization: Callable
+    higher_is_better: bool          # orientation of `score` for loss wiring
+    # Fast rank-all paths; both return the *predict* (lower-is-better)
+    # orientation so evaluators can consume them directly.
+    score_all_tails: Callable | None = None
+    score_all_heads: Callable | None = None
+
+
+MODELS: dict[str, KGEModel] = {}
+
+
+def register(model: KGEModel) -> KGEModel:
+    MODELS[model.name] = model
+    return model
+
+
+def _mean_sq(*xs):
+    return sum(jnp.mean(x * x) for x in xs) / len(xs)
+
+
+# --------------------------------------------------------------------------
+# Translation family
+# --------------------------------------------------------------------------
+
+def _transe_init(key, n_ent, n_rel, dim=200, **kw):
+    k1, k2 = jax.random.split(key)
+    return {"ent": xavier_uniform(k1, (n_ent, dim)), "rel": xavier_uniform(k2, (n_rel, dim))}
+
+
+def _transe_score(params, h, r, t, p_norm=1, norm_flag=True):
+    he, re, te = params["ent"][h], params["rel"][r], params["ent"][t]
+    if norm_flag:
+        he, re, te = _l2n(he), _l2n(re), _l2n(te)
+    return _norm(he + re - te, p_norm)
+
+
+def _transe_reg(params, h, r, t):
+    return _mean_sq(params["ent"][h], params["ent"][t], params["rel"][r])
+
+
+register(KGEModel(
+    name="transe", init=_transe_init, score=_transe_score, predict=_transe_score,
+    regularization=_transe_reg, higher_is_better=False,
+))
+
+
+def _transh_init(key, n_ent, n_rel, dim=200, **kw):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {"ent": xavier_uniform(k1, (n_ent, dim)),
+            "rel": xavier_uniform(k2, (n_rel, dim)),
+            "norm": xavier_uniform(k3, (n_rel, dim))}
+
+
+def _transh_score(params, h, r, t, p_norm=1, norm_flag=True):
+    he, re, te = params["ent"][h], params["rel"][r], params["ent"][t]
+    w = _l2n(params["norm"][r])
+    he = he - jnp.sum(he * w, -1, keepdims=True) * w
+    te = te - jnp.sum(te * w, -1, keepdims=True) * w
+    if norm_flag:
+        he, re, te = _l2n(he), _l2n(re), _l2n(te)
+    return _norm(he + re - te, p_norm)
+
+
+def _transh_reg(params, h, r, t):
+    return _mean_sq(params["ent"][h], params["ent"][t], params["rel"][r], params["norm"][r])
+
+
+register(KGEModel(
+    name="transh", init=_transh_init, score=_transh_score, predict=_transh_score,
+    regularization=_transh_reg, higher_is_better=False,
+))
+
+
+def _transr_init(key, n_ent, n_rel, dim_e=200, dim_r=200, rand_init=False, **kw):
+    k1, k2, k3 = jax.random.split(key, 3)
+    if rand_init:
+        mat = xavier_uniform(k3, (n_rel, dim_e * dim_r)).reshape(n_rel, dim_e, dim_r)
+    else:
+        eye = jnp.zeros((dim_e, dim_r)).at[jnp.arange(min(dim_e, dim_r)), jnp.arange(min(dim_e, dim_r))].set(1.0)
+        mat = jnp.broadcast_to(eye, (n_rel, dim_e, dim_r))
+    return {"ent": xavier_uniform(k1, (n_ent, dim_e)),
+            "rel": xavier_uniform(k2, (n_rel, dim_r)),
+            "mat": mat}
+
+
+def _transr_score(params, h, r, t, p_norm=1, norm_flag=True):
+    he, re, te = params["ent"][h], params["rel"][r], params["ent"][t]
+    m = params["mat"][r]  # [..., dim_e, dim_r]
+    he = jnp.einsum("...e,...er->...r", he, m)
+    te = jnp.einsum("...e,...er->...r", te, m)
+    if norm_flag:
+        he, re, te = _l2n(he), _l2n(re), _l2n(te)
+    return _norm(he + re - te, p_norm)
+
+
+def _transr_reg(params, h, r, t):
+    reg = _mean_sq(params["ent"][h], params["ent"][t], params["rel"][r], params["mat"][r])
+    return reg * reg  # reference squares TransR's regularizer (TransR.py:102)
+
+
+register(KGEModel(
+    name="transr", init=_transr_init, score=_transr_score, predict=_transr_score,
+    regularization=_transr_reg, higher_is_better=False,
+))
+
+
+def _transd_init(key, n_ent, n_rel, dim_e=200, dim_r=200, **kw):
+    ks = jax.random.split(key, 4)
+    return {"ent": xavier_uniform(ks[0], (n_ent, dim_e)),
+            "rel": xavier_uniform(ks[1], (n_rel, dim_r)),
+            "ent_p": xavier_uniform(ks[2], (n_ent, dim_e)),
+            "rel_p": xavier_uniform(ks[3], (n_rel, dim_r))}
+
+
+def _resize_last(x, size):
+    cur = x.shape[-1]
+    if cur == size:
+        return x
+    if cur > size:
+        return x[..., :size]
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, size - cur)]
+    return jnp.pad(x, pad)
+
+
+def _transd_score(params, h, r, t, p_norm=1, norm_flag=True):
+    he, re, te = params["ent"][h], params["rel"][r], params["ent"][t]
+    hp, tp, rp = params["ent_p"][h], params["ent_p"][t], params["rel_p"][r]
+    he = _l2n(_resize_last(he, rp.shape[-1]) + jnp.sum(he * hp, -1, keepdims=True) * rp)
+    te = _l2n(_resize_last(te, rp.shape[-1]) + jnp.sum(te * tp, -1, keepdims=True) * rp)
+    if norm_flag:
+        he, re, te = _l2n(he), _l2n(re), _l2n(te)
+    return _norm(he + re - te, p_norm)
+
+
+def _transd_reg(params, h, r, t):
+    return _mean_sq(params["ent"][h], params["ent"][t], params["rel"][r],
+                    params["ent_p"][h], params["ent_p"][t], params["rel_p"][r])
+
+
+register(KGEModel(
+    name="transd", init=_transd_init, score=_transd_score, predict=_transd_score,
+    regularization=_transd_reg, higher_is_better=False,
+))
+
+
+# --------------------------------------------------------------------------
+# Bilinear family (MXU matmul fast paths for rank-all eval)
+# --------------------------------------------------------------------------
+
+def _distmult_init(key, n_ent, n_rel, dim=200, **kw):
+    k1, k2 = jax.random.split(key)
+    return {"ent": xavier_uniform(k1, (n_ent, dim)), "rel": xavier_uniform(k2, (n_rel, dim))}
+
+
+def _distmult_score(params, h, r, t):
+    return jnp.sum(params["ent"][h] * params["rel"][r] * params["ent"][t], -1)
+
+
+def _distmult_all_tails(params, h, r):
+    hr = params["ent"][h] * params["rel"][r]               # [B, d]
+    return -jnp.dot(hr, params["ent"].T, preferred_element_type=jnp.float32)
+
+
+def _distmult_all_heads(params, t, r):
+    tr = params["ent"][t] * params["rel"][r]
+    return -jnp.dot(tr, params["ent"].T, preferred_element_type=jnp.float32)
+
+
+def _distmult_reg(params, h, r, t):
+    return _mean_sq(params["ent"][h], params["ent"][t], params["rel"][r])
+
+
+def distmult_l3_regularization(params):
+    """Reference DistMult.l3_regularization (DistMult.py:69-70)."""
+    return (jnp.sum(jnp.abs(params["ent"]) ** 3) + jnp.sum(jnp.abs(params["rel"]) ** 3))
+
+
+register(KGEModel(
+    name="distmult", init=_distmult_init, score=_distmult_score,
+    predict=lambda p, h, r, t: -_distmult_score(p, h, r, t),
+    regularization=_distmult_reg, higher_is_better=True,
+    score_all_tails=_distmult_all_tails, score_all_heads=_distmult_all_heads,
+))
+
+
+def _complex_init(key, n_ent, n_rel, dim=200, **kw):
+    ks = jax.random.split(key, 4)
+    return {"ent_re": xavier_uniform(ks[0], (n_ent, dim)),
+            "ent_im": xavier_uniform(ks[1], (n_ent, dim)),
+            "rel_re": xavier_uniform(ks[2], (n_rel, dim)),
+            "rel_im": xavier_uniform(ks[3], (n_rel, dim))}
+
+
+def _complex_score(params, h, r, t):
+    hr, hi = params["ent_re"][h], params["ent_im"][h]
+    tr, ti = params["ent_re"][t], params["ent_im"][t]
+    rr, ri = params["rel_re"][r], params["rel_im"][r]
+    return jnp.sum(hr * tr * rr + hi * ti * rr + hr * ti * ri - hi * tr * ri, -1)
+
+
+def _complex_sim_all_tails(params, h, r):
+    hr, hi = params["ent_re"][h], params["ent_im"][h]
+    rr, ri = params["rel_re"][r], params["rel_im"][r]
+    a = hr * rr - hi * ri     # coefficient of t_re
+    b = hi * rr + hr * ri     # coefficient of t_im
+    return (jnp.dot(a, params["ent_re"].T, preferred_element_type=jnp.float32)
+            + jnp.dot(b, params["ent_im"].T, preferred_element_type=jnp.float32))
+
+
+def _complex_sim_all_heads(params, t, r):
+    tr, ti = params["ent_re"][t], params["ent_im"][t]
+    rr, ri = params["rel_re"][r], params["rel_im"][r]
+    a = tr * rr + ti * ri     # coefficient of h_re
+    b = ti * rr - tr * ri     # coefficient of h_im
+    return (jnp.dot(a, params["ent_re"].T, preferred_element_type=jnp.float32)
+            + jnp.dot(b, params["ent_im"].T, preferred_element_type=jnp.float32))
+
+
+def _complex_reg(params, h, r, t):
+    return _mean_sq(params["ent_re"][h], params["ent_im"][h], params["ent_re"][t],
+                    params["ent_im"][t], params["rel_re"][r], params["rel_im"][r])
+
+
+register(KGEModel(
+    name="complex", init=_complex_init, score=_complex_score,
+    predict=lambda p, h, r, t: -_complex_score(p, h, r, t),
+    regularization=_complex_reg, higher_is_better=True,
+    score_all_tails=lambda p, h, r: -_complex_sim_all_tails(p, h, r),
+    score_all_heads=lambda p, t, r: -_complex_sim_all_heads(p, t, r),
+))
+
+
+def _rescal_init(key, n_ent, n_rel, dim=200, **kw):
+    k1, k2 = jax.random.split(key)
+    return {"ent": xavier_uniform(k1, (n_ent, dim)),
+            "mat": xavier_uniform(k2, (n_rel, dim * dim)).reshape(n_rel, dim, dim)}
+
+
+def _rescal_score(params, h, r, t):
+    # Reference RESCAL forward returns NEGATIVE similarity (RESCAL.py:22).
+    he, te = params["ent"][h], params["ent"][t]
+    m = params["mat"][r]
+    tr = jnp.einsum("...ij,...j->...i", m, te)
+    return -jnp.sum(he * tr, -1)
+
+
+def _rescal_all_tails(params, h, r):
+    he = params["ent"][h]
+    m = params["mat"][r]
+    hm = jnp.einsum("bi,bij->bj", he, m)      # [B, d]
+    return -jnp.dot(hm, params["ent"].T, preferred_element_type=jnp.float32)
+
+
+def _rescal_all_heads(params, t, r):
+    te = params["ent"][t]
+    m = params["mat"][r]
+    mt = jnp.einsum("bij,bj->bi", m, te)
+    return -jnp.dot(mt, params["ent"].T, preferred_element_type=jnp.float32)
+
+
+def _rescal_reg(params, h, r, t):
+    return _mean_sq(params["ent"][h], params["ent"][t], params["mat"][r])
+
+
+register(KGEModel(
+    # RESCAL's forward is already lower-is-better (negative similarity,
+    # RESCAL.py:22). The reference's predict() negates it *again*
+    # (RESCAL.py:44), handing the ranking loop a higher-is-better score even
+    # though Test.h ranks lower-is-better — a reference defect we repair:
+    # predict here keeps the lower-is-better orientation (= forward).
+    name="rescal", init=_rescal_init, score=_rescal_score,
+    predict=_rescal_score,
+    regularization=_rescal_reg, higher_is_better=False,
+    score_all_tails=_rescal_all_tails,
+    score_all_heads=_rescal_all_heads,
+))
+
+
+def _analogy_init(key, n_ent, n_rel, dim=200, **kw):
+    ks = jax.random.split(key, 6)
+    return {"ent_re": xavier_uniform(ks[0], (n_ent, dim)),
+            "ent_im": xavier_uniform(ks[1], (n_ent, dim)),
+            "rel_re": xavier_uniform(ks[2], (n_rel, dim)),
+            "rel_im": xavier_uniform(ks[3], (n_rel, dim)),
+            "ent": xavier_uniform(ks[4], (n_ent, dim * 2)),
+            "rel": xavier_uniform(ks[5], (n_rel, dim * 2))}
+
+
+def _analogy_score(params, h, r, t):
+    # Reference Analogy forward = -(complex part + distmult part) (Analogy.py:26-31).
+    cpx = _complex_score({"ent_re": params["ent_re"], "ent_im": params["ent_im"],
+                          "rel_re": params["rel_re"], "rel_im": params["rel_im"]}, h, r, t)
+    dm = jnp.sum(params["ent"][h] * params["rel"][r] * params["ent"][t], -1)
+    return -(cpx + dm)
+
+
+def _analogy_all_tails(params, h, r):
+    # predict orientation: reference Analogy.predict = −forward = cpx + dm,
+    # which training (SoftplusLoss on forward = −(cpx+dm)) drives LOW for
+    # positives — lower-is-better, consistent with Test.h ranking.
+    cpx = _complex_sim_all_tails({"ent_re": params["ent_re"], "ent_im": params["ent_im"],
+                                  "rel_re": params["rel_re"], "rel_im": params["rel_im"]}, h, r)
+    hr = params["ent"][h] * params["rel"][r]
+    dm = jnp.dot(hr, params["ent"].T, preferred_element_type=jnp.float32)
+    return cpx + dm
+
+
+def _analogy_all_heads(params, t, r):
+    cpx = _complex_sim_all_heads({"ent_re": params["ent_re"], "ent_im": params["ent_im"],
+                                  "rel_re": params["rel_re"], "rel_im": params["rel_im"]}, t, r)
+    tr = params["ent"][t] * params["rel"][r]
+    dm = jnp.dot(tr, params["ent"].T, preferred_element_type=jnp.float32)
+    return cpx + dm
+
+
+def _analogy_reg(params, h, r, t):
+    return _mean_sq(params["ent_re"][h], params["ent_im"][h], params["ent"][h],
+                    params["ent_re"][t], params["ent_im"][t], params["ent"][t],
+                    params["rel_re"][r], params["rel_im"][r], params["rel"][r])
+
+
+register(KGEModel(
+    # Analogy's forward = −(cpx + dm) is trained UP by SoftplusLoss, so its
+    # predict = −forward is lower-is-better — self-consistent (Analogy.py:26-74).
+    name="analogy", init=_analogy_init, score=_analogy_score,
+    predict=lambda p, h, r, t: -_analogy_score(p, h, r, t),
+    regularization=_analogy_reg, higher_is_better=True,
+    score_all_tails=_analogy_all_tails, score_all_heads=_analogy_all_heads,
+))
+
+
+def _simple_init(key, n_ent, n_rel, dim=200, **kw):
+    ks = jax.random.split(key, 3)
+    return {"ent": xavier_uniform(ks[0], (n_ent, dim)),
+            "rel": xavier_uniform(ks[1], (n_rel, dim)),
+            "rel_inv": xavier_uniform(ks[2], (n_rel, dim))}
+
+
+def _simple_score(params, h, r, t):
+    he, te = params["ent"][h], params["ent"][t]
+    re, ri = params["rel"][r], params["rel_inv"][r]
+    return (jnp.sum(he * re * te, -1) + jnp.sum(he * ri * te, -1)) / 2
+
+
+def _simple_predict(params, h, r, t):
+    # Reference SimplE.predict uses only the forward direction (SimplE.py:48-54).
+    return -jnp.sum(params["ent"][h] * params["rel"][r] * params["ent"][t], -1)
+
+
+def _simple_all_tails(params, h, r):
+    hr = params["ent"][h] * params["rel"][r]
+    return -jnp.dot(hr, params["ent"].T, preferred_element_type=jnp.float32)
+
+
+def _simple_all_heads(params, t, r):
+    tr = params["ent"][t] * params["rel"][r]
+    return -jnp.dot(tr, params["ent"].T, preferred_element_type=jnp.float32)
+
+
+def _simple_reg(params, h, r, t):
+    return _mean_sq(params["ent"][h], params["ent"][t], params["rel"][r], params["rel_inv"][r])
+
+
+register(KGEModel(
+    name="simple", init=_simple_init, score=_simple_score, predict=_simple_predict,
+    regularization=_simple_reg, higher_is_better=True,
+    score_all_tails=_simple_all_tails, score_all_heads=_simple_all_heads,
+))
+
+
+# --------------------------------------------------------------------------
+# Rotation / correlation family
+# --------------------------------------------------------------------------
+
+def _rotate_init(key, n_ent, n_rel, dim=200, margin=6.0, epsilon=2.0, **kw):
+    k1, k2 = jax.random.split(key)
+    dim_e, dim_r = dim * 2, dim
+    ent_range = (margin + epsilon) / dim_e
+    rel_range = (margin + epsilon) / dim_r
+    return {"ent": jax.random.uniform(k1, (n_ent, dim_e), jnp.float32, -ent_range, ent_range),
+            "rel": jax.random.uniform(k2, (n_rel, dim_r), jnp.float32, -rel_range, rel_range),
+            "margin": jnp.asarray(margin, jnp.float32),
+            "rel_range": jnp.asarray(rel_range, jnp.float32)}
+
+
+def _rotate_distance(params, h, r, t):
+    he, te, re = params["ent"][h], params["ent"][t], params["rel"][r]
+    dim = re.shape[-1]
+    h_re, h_im = he[..., :dim], he[..., dim:]
+    t_re, t_im = te[..., :dim], te[..., dim:]
+    phase = re / (params["rel_range"] / jnp.pi)
+    r_re, r_im = jnp.cos(phase), jnp.sin(phase)
+    s_re = h_re * r_re - h_im * r_im - t_re
+    s_im = h_re * r_im + h_im * r_re - t_im
+    return jnp.sum(jnp.sqrt(jnp.maximum(s_re * s_re + s_im * s_im, 1e-30)), -1)
+
+
+def _rotate_score(params, h, r, t):
+    # Reference RotatE forward = margin − distance (RotatE.py:83-92).
+    return params["margin"] - _rotate_distance(params, h, r, t)
+
+
+def _rotate_predict(params, h, r, t):
+    # Reference predict = −forward = distance − margin (RotatE.py:94-96).
+    return _rotate_distance(params, h, r, t) - params["margin"]
+
+
+def _rotate_reg(params, h, r, t):
+    return _mean_sq(params["ent"][h], params["ent"][t], params["rel"][r])
+
+
+register(KGEModel(
+    name="rotate", init=_rotate_init, score=_rotate_score, predict=_rotate_predict,
+    regularization=_rotate_reg, higher_is_better=True,
+))
+
+
+def _hole_init(key, n_ent, n_rel, dim=200, **kw):
+    k1, k2 = jax.random.split(key)
+    return {"ent": xavier_uniform(k1, (n_ent, dim)), "rel": xavier_uniform(k2, (n_rel, dim))}
+
+
+def _ccorr(a, b):
+    """Circular correlation via FFT: ifft(conj(fft(a)) · fft(b)).real."""
+    fa = jnp.fft.fft(a.astype(jnp.complex64), axis=-1)
+    fb = jnp.fft.fft(b.astype(jnp.complex64), axis=-1)
+    return jnp.real(jnp.fft.ifft(jnp.conj(fa) * fb, axis=-1)).astype(jnp.float32)
+
+
+def _hole_score(params, h, r, t):
+    he, te, re = params["ent"][h], params["ent"][t], params["rel"][r]
+    return jnp.sum(_ccorr(he, te) * re, -1)
+
+
+def _hole_all_tails(params, h, r):
+    # score(h, r, t) = Σ_k r_k ccorr(h, t)_k = Σ_m t_m (h ⊛ r)_m with ⊛ the
+    # circular convolution — so one MXU matmul against the entity table.
+    fh = jnp.fft.fft(params["ent"][h].astype(jnp.complex64), axis=-1)
+    fr = jnp.fft.fft(params["rel"][r].astype(jnp.complex64), axis=-1)
+    c = jnp.real(jnp.fft.ifft(fh * fr, axis=-1)).astype(jnp.float32)
+    return jnp.dot(c, params["ent"].T, preferred_element_type=jnp.float32)
+
+
+def _hole_reg(params, h, r, t):
+    return _mean_sq(params["ent"][h], params["ent"][t], params["rel"][r])
+
+
+def hole_l3_regularization(params):
+    return (jnp.sum(jnp.abs(params["ent"]) ** 3) + jnp.sum(jnp.abs(params["rel"]) ** 3))
+
+
+register(KGEModel(
+    name="hole", init=_hole_init, score=_hole_score,
+    predict=lambda p, h, r, t: -_hole_score(p, h, r, t),
+    regularization=_hole_reg, higher_is_better=True,
+    score_all_tails=lambda p, h, r: -_hole_all_tails(p, h, r),
+))
+
+
+def get(name: str) -> KGEModel:
+    if name not in MODELS:
+        raise KeyError(f"unknown KGE model {name!r}; have {sorted(MODELS)}")
+    return MODELS[name]

@@ -1,0 +1,241 @@
+"""Fully-batched filtered link-prediction ranking.
+
+TPU-native replacement for the C++ metric accumulators (OpenKE
+base/Test.h:36-192, 232-327): instead of a per-test-triple O(E) host loop,
+each chunk of test triples scores *all* entities with one matmul-shaped
+`predict` call and computes raw / filtered / type-constrained ranks by
+vectorized comparison, preserving the strictly-less semantics of
+Test.h:83 (rank = 1 + #candidates scoring strictly below the true triple,
+the true entity excluded, known-true candidates excluded for the filtered
+rank).
+
+Also provides the candidate-list ranking semantics of the top-level
+evaluator (reference: main.py:247-250) — rank = #worse + #ties//2 + 1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mre_tpu.data.kg import DeviceKG, TripleTable
+
+
+@dataclasses.dataclass
+class RankResults:
+    mrr: float
+    mr: float
+    hits1: float
+    hits3: float
+    hits10: float
+
+    def as_dict(self, prefix: str = "") -> dict:
+        return {prefix + k: getattr(self, k) for k in ("mrr", "mr", "hits1", "hits3", "hits10")}
+
+
+def _filter_mask(kg: DeviceKG, anchors: jnp.ndarray, r: jnp.ndarray, side: str,
+                 n_entities: int, pad: int = 1024) -> jnp.ndarray:
+    """[B, E] boolean mask of known-true candidates for each (anchor, r).
+
+    Built from the CSR true sets with a padded gather + scatter; ``pad``
+    bounds the per-row true-set size (rows larger than pad are truncated —
+    callers should pick pad ≥ max row size; TripleTable knows the max).
+    """
+    if side == "tail":
+        offsets, values = kg.hr_offsets, kg.hrt_tails
+    else:
+        offsets, values = kg.tr_offsets, kg.trh_heads
+    rows = anchors.astype(jnp.int64) * kg.n_relations + r.astype(jnp.int64)
+    start = offsets[rows]
+    cnt = offsets[rows + 1] - start
+    lane = jnp.arange(pad, dtype=jnp.int64)
+    gidx = jnp.minimum(start[:, None] + lane[None, :], values.shape[0] - 1)
+    vals = values[gidx].astype(jnp.int32)
+    valid = lane[None, :] < cnt[:, None]
+    # scatter into a [B, E] mask; invalid lanes point at a scratch column.
+    cols = jnp.where(valid, vals, n_entities)
+    B = anchors.shape[0]
+    mask = jnp.zeros((B, n_entities + 1), bool)
+    mask = mask.at[jnp.arange(B)[:, None], cols].set(True)
+    return mask[:, :n_entities]
+
+
+def _rank_chunk(predict_all: Callable, kg: DeviceKG, h, r, t, side: str,
+                filter_pad: int, type_mask: jnp.ndarray | None = None):
+    """Ranks for one chunk. Returns (raw_rank, filt_rank[, c_raw, c_filt])."""
+    n_ent = kg.n_entities
+    if side == "tail":
+        scores = predict_all(h, r)                     # [B, E] lower = better
+        true_idx = t
+        known = _filter_mask(kg, h, r, "tail", n_ent, filter_pad)
+    else:
+        scores = predict_all(t, r)
+        true_idx = h
+        known = _filter_mask(kg, t, r, "head", n_ent, filter_pad)
+
+    B = scores.shape[0]
+    true_score = jnp.take_along_axis(scores, true_idx[:, None], axis=1)  # [B, 1]
+    is_true = jax.nn.one_hot(true_idx, n_ent, dtype=bool)
+    below = jnp.logical_and(scores < true_score, ~is_true)
+    raw = jnp.sum(below, axis=1) + 1
+    filt = jnp.sum(jnp.logical_and(below, ~known), axis=1) + 1
+    if type_mask is None:
+        return raw, filt
+    allowed = jnp.logical_and(below, type_mask)
+    c_raw = jnp.sum(allowed, axis=1) + 1
+    c_filt = jnp.sum(jnp.logical_and(allowed, ~known), axis=1) + 1
+    return raw, filt, c_raw, c_filt
+
+
+def _metrics(ranks: np.ndarray) -> RankResults:
+    ranks = np.asarray(ranks, np.float64)
+    return RankResults(
+        mrr=float(np.mean(1.0 / ranks)),
+        mr=float(np.mean(ranks)),
+        hits1=float(np.mean(ranks <= 1)),
+        hits3=float(np.mean(ranks <= 3)),
+        hits10=float(np.mean(ranks <= 10)),
+    )
+
+
+def link_prediction(predict_all_tails: Callable, predict_all_heads: Callable,
+                    kg_filter: DeviceKG, test_triples: np.ndarray,
+                    chunk: int = 256, filter_pad: int | None = None,
+                    type_constraints=None) -> dict[str, RankResults]:
+    """Run head+tail link prediction over all test triples.
+
+    ``kg_filter`` must index the *union* of train/valid/test triples
+    (Test.h filters against tripleList = all splits; Reader.h:166-257).
+
+    Returns dict with keys 'raw', 'filter' (and 'raw_tc'/'filter_tc' when
+    ``type_constraints`` — an (head_masks[R,E], tail_masks[R,E]) pair — is
+    given), each averaging head and tail ranks like Test.h:232-327.
+    """
+    test = np.asarray(test_triples, np.int32).reshape(-1, 3)
+    n = len(test)
+    if filter_pad is None:
+        filter_pad = 1024
+
+    pad_n = ((n + chunk - 1) // chunk) * chunk
+    padded = np.concatenate([test, np.repeat(test[-1:], pad_n - n, axis=0)], 0)
+
+    tc = type_constraints is not None
+    head_ranks, tail_ranks = [], []
+    c_head_ranks, c_tail_ranks = [], []
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run_chunk(h, r, t, head_tm, tail_tm):
+        tail_out = _rank_chunk(predict_all_tails, kg_filter, h, r, t, "tail",
+                               filter_pad, tail_tm)
+        head_out = _rank_chunk(predict_all_heads, kg_filter, h, r, t, "head",
+                               filter_pad, head_tm)
+        return tail_out, head_out
+
+    for i in range(0, pad_n, chunk):
+        h = jnp.asarray(padded[i:i + chunk, 0])
+        r = jnp.asarray(padded[i:i + chunk, 1])
+        t = jnp.asarray(padded[i:i + chunk, 2])
+        if tc:
+            head_tm = jnp.asarray(type_constraints[0])[r]
+            tail_tm = jnp.asarray(type_constraints[1])[r]
+        else:
+            head_tm = tail_tm = None
+        tail_out, head_out = run_chunk(h, r, t, head_tm, tail_tm)
+        tail_ranks.append(np.stack([np.asarray(x) for x in tail_out[:2]], 1))
+        head_ranks.append(np.stack([np.asarray(x) for x in head_out[:2]], 1))
+        if tc:
+            c_tail_ranks.append(np.stack([np.asarray(x) for x in tail_out[2:]], 1))
+            c_head_ranks.append(np.stack([np.asarray(x) for x in head_out[2:]], 1))
+
+    tail_ranks = np.concatenate(tail_ranks)[:n]
+    head_ranks = np.concatenate(head_ranks)[:n]
+    both_raw = np.concatenate([tail_ranks[:, 0], head_ranks[:, 0]])
+    both_filt = np.concatenate([tail_ranks[:, 1], head_ranks[:, 1]])
+    out = {"raw": _metrics(both_raw), "filter": _metrics(both_filt)}
+    if tc:
+        c_tail = np.concatenate(c_tail_ranks)[:n]
+        c_head = np.concatenate(c_head_ranks)[:n]
+        out["raw_tc"] = _metrics(np.concatenate([c_tail[:, 0], c_head[:, 0]]))
+        out["filter_tc"] = _metrics(np.concatenate([c_tail[:, 1], c_head[:, 1]]))
+    return out
+
+
+def make_predict_all(model, params, kg: DeviceKG, ent_chunk: int = 4096):
+    """Build (predict_all_tails, predict_all_heads) [B, E] scorers.
+
+    Uses the model's MXU matmul fast path when available; otherwise a
+    broadcast fallback chunked over entities to bound memory.
+    """
+    n_ent = kg.n_entities
+
+    if model.score_all_tails is not None:
+        def all_tails(h, r):
+            return model.score_all_tails(params, h, r)
+    else:
+        def all_tails(h, r):
+            def score_ent_chunk(e0):
+                ents = e0 + jnp.arange(ent_chunk)
+                ents = jnp.minimum(ents, n_ent - 1)
+                return model.predict(params, h[:, None], r[:, None], ents[None, :])
+            starts = jnp.arange(0, ((n_ent + ent_chunk - 1) // ent_chunk) * ent_chunk, ent_chunk)
+            parts = jax.lax.map(score_ent_chunk, starts)      # [C, B, ent_chunk]
+            return jnp.moveaxis(parts, 0, 1).reshape(h.shape[0], -1)[:, :n_ent]
+
+    if model.score_all_heads is not None:
+        def all_heads(t, r):
+            return model.score_all_heads(params, t, r)
+    else:
+        def all_heads(t, r):
+            def score_ent_chunk(e0):
+                ents = e0 + jnp.arange(ent_chunk)
+                ents = jnp.minimum(ents, n_ent - 1)
+                return model.predict(params, ents[None, :], r[:, None], t[:, None])
+            starts = jnp.arange(0, ((n_ent + ent_chunk - 1) // ent_chunk) * ent_chunk, ent_chunk)
+            parts = jax.lax.map(score_ent_chunk, starts)
+            return jnp.moveaxis(parts, 0, 1).reshape(t.shape[0], -1)[:, :n_ent]
+
+    return all_tails, all_heads
+
+
+# --------------------------------------------------------------------------
+# Candidate-list ranking (reference main.py:217-272 semantics)
+# --------------------------------------------------------------------------
+
+def candidate_ranks(scores: jnp.ndarray, cand_mask: jnp.ndarray,
+                    lower_is_better: bool = True) -> jnp.ndarray:
+    """Tie-aware ranks of candidate 0 within each padded candidate list.
+
+    ``scores`` [Q, C] with the true candidate at column 0; ``cand_mask``
+    [Q, C] marks real candidates. rank = #better + #ties//2 + 1 over
+    candidates 1.. (reference: main.py:247-250).
+    """
+    s = scores if lower_is_better else -scores
+    true_s = s[:, :1]
+    rest_mask = jnp.asarray(cand_mask).at[:, 0].set(False)
+    better = jnp.sum(jnp.logical_and(s < true_s, rest_mask), axis=1)
+    ties = jnp.sum(jnp.logical_and(s == true_s, rest_mask), axis=1)
+    return better + ties // 2 + 1
+
+
+def triple_classification_threshold(pos_scores: np.ndarray, neg_scores: np.ndarray):
+    """Best-accuracy score threshold search (OpenKE Tester.py:93-150).
+
+    Scores are lower-is-better; returns (threshold, accuracy).
+    """
+    scores = np.concatenate([pos_scores, neg_scores])
+    labels = np.concatenate([np.ones_like(pos_scores), np.zeros_like(neg_scores)])
+    order = np.argsort(scores)
+    scores, labels = scores[order], labels[order]
+    total = len(scores)
+    n_pos = labels.sum()
+    # predicting positive for score <= threshold: accuracy after k-th cut
+    tp = np.cumsum(labels)
+    fp = np.cumsum(1 - labels)
+    acc = (tp + (total - n_pos - fp)) / total
+    k = int(np.argmax(acc))
+    return float(scores[k]), float(acc[k])

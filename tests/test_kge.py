@@ -1,0 +1,104 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mre_tpu.models import kge
+
+ALL_MODELS = sorted(kge.MODELS)
+N_ENT, N_REL, DIM = 30, 5, 16
+
+
+@pytest.fixture(scope="module", params=ALL_MODELS)
+def model_and_params(request):
+    model = kge.get(request.param)
+    params = model.init(jax.random.key(0), N_ENT, N_REL, dim=DIM)
+    return model, params
+
+
+def test_score_shapes_and_broadcast(model_and_params):
+    model, params = model_and_params
+    h = jnp.arange(4)
+    r = jnp.zeros(4, jnp.int32)
+    t = jnp.arange(4, 8)
+    s = model.score(params, h, r, t)
+    assert s.shape == (4,)
+    # broadcast rank-all form
+    s_all = model.predict(params, h[:, None], r[:, None], jnp.arange(N_ENT)[None, :])
+    assert s_all.shape == (4, N_ENT)
+    # pointwise consistency
+    s_point = model.predict(params, h, r, t)
+    got = s_all[jnp.arange(4), t]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(s_point), rtol=1e-2, atol=1e-3)
+
+
+def test_fast_paths_match_broadcast(model_and_params):
+    model, params = model_and_params
+    h = jnp.arange(6) % N_ENT
+    r = jnp.arange(6) % N_REL
+    all_ents = jnp.arange(N_ENT)
+    if model.score_all_tails is not None:
+        fast = model.score_all_tails(params, h, r)
+        slow = model.predict(params, h[:, None], r[:, None], all_ents[None, :])
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(slow), rtol=2e-3, atol=2e-3)
+    if model.score_all_heads is not None:
+        fast = model.score_all_heads(params, h, r)  # here `h` plays the tail role
+        slow = model.predict(params, all_ents[None, :], r[:, None], h[:, None])
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(slow), rtol=2e-3, atol=2e-3)
+
+
+def test_transe_hand_computed():
+    model = kge.get("transe")
+    params = {"ent": jnp.asarray([[1.0, 0.0], [0.0, 1.0], [0.6, 0.8]]),
+              "rel": jnp.asarray([[3.0, 4.0]])}
+    # normalized: h=(1,0), r=(0.6,0.8), t=(0.6,0.8) → |h+r-t|_1 = 1.0
+    s = model.score(params, jnp.asarray([0]), jnp.asarray([0]), jnp.asarray([2]))
+    np.testing.assert_allclose(np.asarray(s), [1.0], rtol=1e-5)
+
+
+def test_distmult_hand_computed():
+    model = kge.get("distmult")
+    params = {"ent": jnp.asarray([[1.0, 2.0], [3.0, 4.0]]),
+              "rel": jnp.asarray([[0.5, 0.5]])}
+    s = model.score(params, jnp.asarray([0]), jnp.asarray([0]), jnp.asarray([1]))
+    np.testing.assert_allclose(np.asarray(s), [1 * 0.5 * 3 + 2 * 0.5 * 4], rtol=1e-6)
+
+
+def test_hole_ccorr_bruteforce():
+    model = kge.get("hole")
+    params = model.init(jax.random.key(1), 5, 2, dim=8)
+    h, r, t = jnp.asarray([1]), jnp.asarray([0]), jnp.asarray([3])
+    a = np.asarray(params["ent"])[1]
+    b = np.asarray(params["ent"])[3]
+    rr = np.asarray(params["rel"])[0]
+    n = len(a)
+    ccorr = np.array([sum(a[i] * b[(i + k) % n] for i in range(n)) for k in range(n)])
+    expected = float(np.sum(ccorr * rr))
+    got = float(model.score(params, h, r, t)[0])
+    np.testing.assert_allclose(got, expected, rtol=1e-4)
+
+
+def test_rotate_zero_phase_is_translationless():
+    model = kge.get("rotate")
+    params = model.init(jax.random.key(2), 6, 3, dim=8)
+    params = dict(params)
+    params["rel"] = jnp.zeros_like(params["rel"])  # phase 0 → rotation = identity
+    h = jnp.asarray([0, 1])
+    r = jnp.asarray([0, 1])
+    d = np.asarray(model.predict(params, h, r, h)) + float(params["margin"])
+    np.testing.assert_allclose(d, 0.0, atol=1e-5)
+
+
+def test_gradients_flow(model_and_params):
+    model, params = model_and_params
+    h = jnp.asarray([0, 1])
+    r = jnp.asarray([0, 1])
+    t = jnp.asarray([2, 3])
+
+    def loss_fn(p):
+        return jnp.sum(model.score(p, h, r, t)) + model.regularization(p, h, r, t)
+
+    grads = jax.grad(loss_fn)(params)
+    flat, _ = jax.tree_util.tree_flatten(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    assert any(float(jnp.abs(g).sum()) > 0 for g in flat)

@@ -1,0 +1,86 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mre_tpu.data.kg import DeviceKG
+from mre_tpu.ops import sampling
+
+
+@pytest.fixture(scope="module")
+def dkg(tiny_kg):
+    return DeviceKG.from_table(tiny_kg)
+
+
+def test_corrupt_tails_never_true(tiny_kg, dkg):
+    key = jax.random.key(0)
+    h = jnp.asarray(tiny_kg.triples[:, 0])
+    r = jnp.asarray(tiny_kg.triples[:, 1])
+    for seed in range(5):
+        neg = sampling.corrupt_tails(jax.random.key(seed), dkg, h, r)
+        neg = np.asarray(neg)
+        assert (neg >= 0).all() and (neg < tiny_kg.n_entities).all()
+        assert not tiny_kg.contains(np.asarray(h), np.asarray(r), neg).any()
+
+
+def test_corrupt_heads_never_true(tiny_kg, dkg):
+    t = jnp.asarray(tiny_kg.triples[:, 2])
+    r = jnp.asarray(tiny_kg.triples[:, 1])
+    for seed in range(5):
+        neg = np.asarray(sampling.corrupt_heads(jax.random.key(seed), dkg, t, r))
+        assert not tiny_kg.contains(neg, np.asarray(r), np.asarray(t)).any()
+
+
+def test_exact_path_uniform_over_complement(tiny_kg, dkg):
+    # for a fixed (h, r), the sampled tails should cover the complement
+    h0, r0 = int(tiny_kg.triples[0, 0]), int(tiny_kg.triples[0, 1])
+    true = set(tiny_kg.true_tails(h0, r0).tolist())
+    B = 4000
+    h = jnp.full((B,), h0, jnp.int32)
+    r = jnp.full((B,), r0, jnp.int32)
+    neg = np.asarray(sampling.corrupt_tails(jax.random.key(7), dkg, h, r))
+    seen = set(neg.tolist())
+    assert seen.isdisjoint(true)
+    complement = set(range(tiny_kg.n_entities)) - true
+    # should hit nearly all of a 50-element complement with 4000 draws
+    assert len(seen) >= len(complement) - 1
+    # roughly uniform: no value takes more than 3x the expected share
+    counts = np.bincount(neg, minlength=tiny_kg.n_entities)
+    assert counts.max() <= 3 * B / len(complement)
+
+
+def test_corrupt_batch_layout(tiny_kg, dkg):
+    key = jax.random.key(3)
+    batch = sampling.sample_training_batch(key, dkg, batch_size=32, n_neg=5, bern=True)
+    assert batch.h.shape == (32,)
+    assert batch.neg_h.shape == (32, 5)
+    # each negative differs from the positive on exactly one side
+    nh, nt = np.asarray(batch.neg_h), np.asarray(batch.neg_t)
+    h, t = np.asarray(batch.h)[:, None], np.asarray(batch.t)[:, None]
+    changed_h = nh != h
+    changed_t = nt != t
+    assert not np.logical_and(changed_h, changed_t).any()
+    # negatives are filtered
+    r = np.repeat(np.asarray(batch.r)[:, None], 5, 1)
+    assert not tiny_kg.contains(nh.ravel(), r.ravel(), nt.ravel()).any()
+
+
+def test_corrupt_within_nodes(tiny_kg, dkg):
+    # local subgraph = first 20 entities
+    n_id = jnp.arange(20, dtype=jnp.int32)
+    tri = tiny_kg.triples[(tiny_kg.triples[:, 0] < 20) & (tiny_kg.triples[:, 2] < 20)]
+    if len(tri) == 0:
+        pytest.skip("no local triples in fixture")
+    h_l = jnp.asarray(tri[:, 0])
+    r = jnp.asarray(tri[:, 1])
+    t_l = jnp.asarray(tri[:, 2])
+    neg_h, neg_t = sampling.corrupt_within_nodes(jax.random.key(0), dkg, n_id, h_l, r, t_l, n_neg=4)
+    neg_h, neg_t = np.asarray(neg_h), np.asarray(neg_t)
+    assert (neg_h < 20).all() and (neg_t < 20).all()
+    rr = np.repeat(tri[:, 1][:, None], 4, 1)
+    # any corrupted pair must not be a true triple (unless it stayed positive
+    # because rejection failed every round — possible only in tiny graphs;
+    # accept identity rows)
+    same = (neg_h == tri[:, 0][:, None]) & (neg_t == tri[:, 2][:, None])
+    is_true = tiny_kg.contains(neg_h.ravel(), rr.ravel(), neg_t.ravel()).reshape(neg_h.shape)
+    assert np.logical_or(~is_true, same).all()
