@@ -48,6 +48,9 @@ class TripleTable:
         triples = np.asarray(triples, dtype=np.int32).reshape(-1, 3)
         h, r, t = triples[:, 0], triples[:, 1], triples[:, 2]
         E, R = int(n_entities), int(n_relations)
+        # Device-side row ids are int32: (entity, relation) row space must fit.
+        if E * R >= 2**31:
+            raise ValueError(f"entity×relation id space {E}×{R} exceeds int32")
 
         hrt = _pack(h, r, t, R, E)
         order = np.argsort(hrt, kind="stable")
@@ -123,14 +126,14 @@ class DeviceKG:
     """Device-resident mirror of the filter indexes (jnp arrays, pytree).
 
     Registered as a pytree so it can be closed over / passed into jitted
-    samplers and evaluators.
+    samplers and evaluators. All arrays are int32/float32 — membership tests
+    use per-(entity, relation)-row binary search instead of packed int64 keys
+    so no 64-bit integer support is required on device.
     """
 
     n_entities: int
     n_relations: int
     triples: jnp.ndarray
-    hrt_keys: jnp.ndarray
-    trh_keys: jnp.ndarray
     hr_offsets: jnp.ndarray
     tr_offsets: jnp.ndarray
     hrt_tails: jnp.ndarray
@@ -144,10 +147,8 @@ class DeviceKG:
             n_entities=t.n_entities,
             n_relations=t.n_relations,
             triples=jnp.asarray(t.triples),
-            hrt_keys=jnp.asarray(t.hrt_keys),
-            trh_keys=jnp.asarray(t.trh_keys),
-            hr_offsets=jnp.asarray(t.hr_offsets),
-            tr_offsets=jnp.asarray(t.tr_offsets),
+            hr_offsets=jnp.asarray(t.hr_offsets, jnp.int32),
+            tr_offsets=jnp.asarray(t.tr_offsets, jnp.int32),
             hrt_tails=jnp.asarray(t.hrt_tails),
             trh_heads=jnp.asarray(t.trh_heads),
             left_mean=jnp.asarray(t.left_mean),
@@ -156,7 +157,7 @@ class DeviceKG:
 
 
 def _kg_flatten(kg: DeviceKG):
-    children = (kg.triples, kg.hrt_keys, kg.trh_keys, kg.hr_offsets, kg.tr_offsets,
+    children = (kg.triples, kg.hr_offsets, kg.tr_offsets,
                 kg.hrt_tails, kg.trh_heads, kg.left_mean, kg.right_mean)
     aux = (kg.n_entities, kg.n_relations)
     return children, aux

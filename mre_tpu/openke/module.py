@@ -1,0 +1,239 @@
+"""OpenKE-style class surface over the functional KGE suite.
+
+Mirrors the reference toolkit's user-facing classes
+(OpenKE/openke/module/model/*.py, strategy/NegativeSampling.py,
+loss/*.py) so that an OpenKE-style training script ports one-to-one, while
+the compute runs through the jitted functional core (models/kge.py,
+ops/losses.py). ``forward(data)`` consumes the flat OpenKE batch layout
+({batch_h, batch_t, batch_r, batch_y, mode}).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mre_tpu.core.checkpoint import load_checkpoint, save_checkpoint
+from mre_tpu.models import kge as K
+from mre_tpu.ops import losses as L
+
+
+class Model:
+    """Base: owns a params pytree + the functional score model."""
+
+    model_name: str = ""
+
+    def __init__(self, ent_tot, rel_tot, seed=0, **init_kwargs):
+        self.ent_tot = ent_tot
+        self.rel_tot = rel_tot
+        self._fn = K.get(self.model_name)
+        self._score_kwargs = {}
+        self.params = self._fn.init(jax.random.key(seed), ent_tot, rel_tot, **init_kwargs)
+
+    # -- OpenKE batch-dict interface --------------------------------------
+
+    def forward(self, data):
+        h = jnp.asarray(data["batch_h"])
+        t = jnp.asarray(data["batch_t"])
+        r = jnp.asarray(data["batch_r"])
+        return self._fn.score(self.params, h, r, t, **self._score_kwargs)
+
+    def predict(self, data):
+        h = jnp.asarray(data["batch_h"])
+        t = jnp.asarray(data["batch_t"])
+        r = jnp.asarray(data["batch_r"])
+        out = self._fn.predict(self.params, h, r, t, **self._score_kwargs)
+        return np.asarray(out, np.float32)
+
+    def regularization(self, data):
+        h = jnp.asarray(data["batch_h"])
+        t = jnp.asarray(data["batch_t"])
+        r = jnp.asarray(data["batch_r"])
+        return self._fn.regularization(self.params, h, r, t)
+
+    # -- functional accessors used by the Trainer -------------------------
+
+    def loss_terms(self, params, h, r, t):
+        return self._fn.score(params, h, r, t, **self._score_kwargs)
+
+    def save_checkpoint(self, path):
+        save_checkpoint(path, self.params)
+
+    def load_checkpoint(self, path):
+        self.params = load_checkpoint(path, self.params)
+
+    def save_parameters(self, path):
+        import json
+
+        tree = jax.tree_util.tree_map(lambda x: np.asarray(x).tolist(), self.params)
+        with open(path, "w") as f:
+            json.dump(tree, f)
+
+    def load_parameters(self, path):
+        import json
+
+        with open(path) as f:
+            tree = json.load(f)
+        self.params = jax.tree_util.tree_map(
+            lambda ref, v: jnp.asarray(v, ref.dtype), self.params, tree)
+
+
+class TransE(Model):
+    model_name = "transe"
+
+    def __init__(self, ent_tot, rel_tot, dim=100, p_norm=1, norm_flag=True,
+                 margin=None, epsilon=None, seed=0):
+        super().__init__(ent_tot, rel_tot, seed=seed, dim=dim)
+        self._score_kwargs = dict(p_norm=p_norm, norm_flag=norm_flag)
+
+
+class TransH(Model):
+    model_name = "transh"
+
+    def __init__(self, ent_tot, rel_tot, dim=100, p_norm=1, norm_flag=True,
+                 margin=None, epsilon=None, seed=0):
+        super().__init__(ent_tot, rel_tot, seed=seed, dim=dim)
+        self._score_kwargs = dict(p_norm=p_norm, norm_flag=norm_flag)
+
+
+class TransR(Model):
+    model_name = "transr"
+
+    def __init__(self, ent_tot, rel_tot, dim_e=100, dim_r=100, p_norm=1,
+                 norm_flag=True, rand_init=False, margin=None, seed=0):
+        super().__init__(ent_tot, rel_tot, seed=seed, dim_e=dim_e, dim_r=dim_r,
+                         rand_init=rand_init)
+        self._score_kwargs = dict(p_norm=p_norm, norm_flag=norm_flag)
+
+
+class TransD(Model):
+    model_name = "transd"
+
+    def __init__(self, ent_tot, rel_tot, dim_e=100, dim_r=100, p_norm=1,
+                 norm_flag=True, margin=None, epsilon=None, seed=0):
+        super().__init__(ent_tot, rel_tot, seed=seed, dim_e=dim_e, dim_r=dim_r)
+        self._score_kwargs = dict(p_norm=p_norm, norm_flag=norm_flag)
+
+
+class DistMult(Model):
+    model_name = "distmult"
+
+    def __init__(self, ent_tot, rel_tot, dim=100, margin=None, epsilon=None, seed=0):
+        super().__init__(ent_tot, rel_tot, seed=seed, dim=dim)
+
+    def l3_regularization(self):
+        return K.distmult_l3_regularization(self.params)
+
+
+class ComplEx(Model):
+    model_name = "complex"
+
+    def __init__(self, ent_tot, rel_tot, dim=100, seed=0):
+        super().__init__(ent_tot, rel_tot, seed=seed, dim=dim)
+
+
+class RESCAL(Model):
+    model_name = "rescal"
+
+    def __init__(self, ent_tot, rel_tot, dim=100, seed=0):
+        super().__init__(ent_tot, rel_tot, seed=seed, dim=dim)
+
+
+class Analogy(Model):
+    model_name = "analogy"
+
+    def __init__(self, ent_tot, rel_tot, dim=100, seed=0):
+        super().__init__(ent_tot, rel_tot, seed=seed, dim=dim)
+
+
+class SimplE(Model):
+    model_name = "simple"
+
+    def __init__(self, ent_tot, rel_tot, dim=100, seed=0):
+        super().__init__(ent_tot, rel_tot, seed=seed, dim=dim)
+
+
+class RotatE(Model):
+    model_name = "rotate"
+
+    def __init__(self, ent_tot, rel_tot, dim=100, margin=6.0, epsilon=2.0, seed=0):
+        super().__init__(ent_tot, rel_tot, seed=seed, dim=dim, margin=margin, epsilon=epsilon)
+
+
+class HolE(Model):
+    model_name = "hole"
+
+    def __init__(self, ent_tot, rel_tot, dim=100, margin=None, epsilon=None, seed=0):
+        super().__init__(ent_tot, rel_tot, seed=seed, dim=dim)
+
+    def l3_regularization(self):
+        return K.hole_l3_regularization(self.params)
+
+
+# --------------------------------------------------------------------------
+# Losses (class-style wrappers over ops/losses.py)
+# --------------------------------------------------------------------------
+
+class MarginLoss:
+    def __init__(self, adv_temperature=None, margin=6.0):
+        self.margin = margin
+        self.adv_temperature = adv_temperature
+
+    def __call__(self, p_score, n_score):
+        return L.margin_loss(p_score, n_score, margin=self.margin,
+                             adv_temperature=self.adv_temperature)
+
+
+class SigmoidLoss:
+    def __init__(self, adv_temperature=None):
+        self.adv_temperature = adv_temperature
+
+    def __call__(self, p_score, n_score):
+        return L.sigmoid_loss(p_score, n_score, adv_temperature=self.adv_temperature)
+
+
+class SoftplusLoss:
+    def __init__(self, adv_temperature=None):
+        self.adv_temperature = adv_temperature
+
+    def __call__(self, p_score, n_score):
+        return L.softplus_loss(p_score, n_score, adv_temperature=self.adv_temperature)
+
+
+class NegativeSampling:
+    """Strategy wrapper: first ``batch_size`` scores are positives, the rest
+    negatives (OpenKE strategy/NegativeSampling.py:3-32 layout)."""
+
+    def __init__(self, model=None, loss=None, batch_size=256,
+                 regul_rate=0.0, l3_regul_rate=0.0):
+        self.model = model
+        self.loss = loss
+        self.batch_size = batch_size
+        self.regul_rate = regul_rate
+        self.l3_regul_rate = l3_regul_rate
+
+    def _split(self, score):
+        B = self.batch_size
+        p = score[:B].reshape(-1, B).T
+        n = score[B:].reshape(-1, B).T
+        return p, n
+
+    def loss_value(self, params, data):
+        h = jnp.asarray(data["batch_h"])
+        t = jnp.asarray(data["batch_t"])
+        r = jnp.asarray(data["batch_r"])
+        score = self.model._fn.score(params, h, r, t, **self.model._score_kwargs)
+        p, n = self._split(score)
+        value = self.loss(p, n)
+        if self.regul_rate:
+            value = value + self.regul_rate * self.model._fn.regularization(params, h, r, t)
+        if self.l3_regul_rate and hasattr(self.model, "l3_regularization"):
+            if self.model.model_name == "distmult":
+                value = value + self.l3_regul_rate * K.distmult_l3_regularization(params)
+            else:
+                value = value + self.l3_regul_rate * K.hole_l3_regularization(params)
+        return value
+
+    def __call__(self, data):
+        return self.loss_value(self.model.params, data)

@@ -1,0 +1,424 @@
+// sampler.cpp — native host-side KGE batch sampler and ranking accumulator.
+//
+// A fresh C++17 implementation of the capabilities of the reference's native
+// core (OpenKE/openke/base/{Setting,Random,Triple,Reader,Corrupt,Test}.h and
+// Base.cpp): reads the *2id.txt benchmark files, builds sorted triple
+// indexes, serves multi-threaded training batches with exact filtered
+// corruption (complement order-statistic sampling — no rejection loops), and
+// accumulates link-prediction metrics. Exposes the same extern "C" ABI the
+// reference's ctypes clients use, so it is a drop-in Base.so replacement.
+//
+// Design differences from the reference (intentional):
+//   * std::vector / std::thread / per-thread std::mt19937_64 instead of raw
+//     malloc + pthreads + a hand-rolled LCG;
+//   * one CSR offset array per (entity) for the by-head/by-tail indexes;
+//   * no globals-scattered-across-headers — a single translation unit.
+//
+// Build: g++ -O2 -std=c++17 -fPIC -shared sampler.cpp -o sampler.so -pthread
+
+#include <algorithm>
+#include <cinttypes>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <random>
+#include <string>
+#include <thread>
+#include <vector>
+
+using INT = int64_t;
+using REAL = float;
+
+namespace {
+
+struct Triple {
+    INT h, r, t;
+    bool operator==(const Triple& o) const { return h == o.h && r == o.r && t == o.t; }
+};
+
+struct State {
+    std::string in_path;
+    INT work_threads = 8;
+    bool bern = false;
+    INT entity_total = 0, relation_total = 0;
+    INT train_total = 0, valid_total = 0, test_total = 0, triple_total = 0;
+
+    std::vector<Triple> train;            // as read (deduped, hrt-sorted)
+    std::vector<Triple> by_head;          // sorted (h, r, t)
+    std::vector<Triple> by_tail;          // sorted (t, r, h) order
+    std::vector<INT> head_off, tail_off;  // CSR offsets per entity
+    std::vector<Triple> all_sorted;       // train+valid+test, (h, r, t) sorted
+    std::vector<Triple> test_list, valid_list;
+    std::vector<REAL> left_mean, right_mean;
+
+    // type constraints: per relation, sorted candidate entity lists
+    std::vector<std::vector<INT>> head_type, tail_type;
+    bool has_types = false;
+
+    std::vector<std::mt19937_64> rngs;
+};
+
+State S;
+
+bool cmp_hrt(const Triple& a, const Triple& b) {
+    return a.h != b.h ? a.h < b.h : (a.r != b.r ? a.r < b.r : a.t < b.t);
+}
+bool cmp_trh(const Triple& a, const Triple& b) {
+    return a.t != b.t ? a.t < b.t : (a.r != b.r ? a.r < b.r : a.h < b.h);
+}
+
+std::vector<Triple> read_triples(const std::string& file, INT* total_out) {
+    std::vector<Triple> out;
+    FILE* f = fopen(file.c_str(), "r");
+    if (!f) { fprintf(stderr, "sampler.so: cannot open %s\n", file.c_str()); return out; }
+    long long n = 0;
+    if (fscanf(f, "%lld", &n) != 1) { fclose(f); return out; }
+    out.reserve(n);
+    for (long long i = 0; i < n; i++) {
+        long long h, t, r;  // *2id.txt column order is (head, tail, relation)
+        if (fscanf(f, "%lld%lld%lld", &h, &t, &r) != 3) break;
+        out.push_back({(INT)h, (INT)r, (INT)t});
+    }
+    fclose(f);
+    if (total_out) *total_out = (INT)out.size();
+    return out;
+}
+
+INT read_count(const std::string& file) {
+    FILE* f = fopen(file.c_str(), "r");
+    if (!f) return 0;
+    long long n = 0;
+    if (fscanf(f, "%lld", &n) != 1) n = 0;
+    fclose(f);
+    return (INT)n;
+}
+
+void build_offsets(const std::vector<Triple>& sorted, std::vector<INT>& off, bool by_head) {
+    off.assign(S.entity_total + 1, 0);
+    for (const auto& tr : sorted) off[(by_head ? tr.h : tr.t) + 1]++;
+    for (INT i = 0; i < S.entity_total; i++) off[i + 1] += off[i];
+}
+
+// Exact filtered corruption: uniform over {0..E-1} minus the true set for
+// (anchor, r). The true candidates form a sorted sub-range of the by_head /
+// by_tail index; the u-th allowed value is u + #{excluded s_i with s_i-i<=u},
+// found by binary search (same complement order-statistic trick as the
+// reference's Corrupt.h:7-83).
+INT corrupt_filtered(INT tid, INT anchor, INT r, bool keep_head) {
+    const auto& index = keep_head ? S.by_head : S.by_tail;
+    const auto& off = keep_head ? S.head_off : S.tail_off;
+    INT lo = off[anchor], hi = off[anchor + 1];
+    // narrow to the relation sub-range
+    auto rlo = std::lower_bound(index.begin() + lo, index.begin() + hi, r,
+                                [](const Triple& a, INT rr) { return a.r < rr; });
+    auto rhi = std::upper_bound(index.begin() + lo, index.begin() + hi, r,
+                                [](INT rr, const Triple& a) { return rr < a.r; });
+    INT k = (INT)(rhi - rlo);
+    std::uniform_int_distribution<INT> dist(0, S.entity_total - k - 1);
+    INT u = dist(S.rngs[tid]);
+    // count excluded values s_i (sorted) with s_i - i <= u
+    INT cl = 0, cr = k;  // first index with s_i - i > u
+    while (cl < cr) {
+        INT mid = (cl + cr) / 2;
+        INT s = keep_head ? (rlo + mid)->t : (rlo + mid)->h;
+        if (s - mid <= u) cl = mid + 1; else cr = mid;
+    }
+    return u + cl;
+}
+
+INT corrupt_unfiltered(INT tid, INT self) {
+    std::uniform_int_distribution<INT> dist(0, S.entity_total - 2);
+    INT v = dist(S.rngs[tid]);
+    return v < self ? v : v + 1;
+}
+
+bool find_triple(INT h, INT r, INT t) {
+    Triple key{h, r, t};
+    auto it = std::lower_bound(S.all_sorted.begin(), S.all_sorted.end(), key, cmp_hrt);
+    return it != S.all_sorted.end() && *it == key;
+}
+
+// ---------------------------------------------------------------------------
+// link-prediction metric accumulators (Test.h:65-327 semantics)
+// ---------------------------------------------------------------------------
+struct Accum {
+    double rank = 0, reci = 0, h1 = 0, h3 = 0, h10 = 0;
+    double n = 0;
+    void add(INT below) {
+        n += 1;
+        rank += below + 1;
+        reci += 1.0 / (below + 1);
+        if (below < 1) h1 += 1;
+        if (below < 3) h3 += 1;
+        if (below < 10) h10 += 1;
+    }
+};
+Accum l_raw, l_filt, r_raw, r_filt, l_raw_tc, l_filt_tc, r_raw_tc, r_filt_tc;
+REAL link_mrr[2], link_mr[2], link_h10[2], link_h3[2], link_h1[2];
+
+}  // namespace
+
+extern "C" {
+
+void setInPath(char* path) { S.in_path = path; }
+void setWorkThreads(INT n) { S.work_threads = n; }
+void setBern(INT flag) { S.bern = flag != 0; }
+INT getWorkThreads() { return S.work_threads; }
+INT getEntityTotal() { return S.entity_total; }
+INT getRelationTotal() { return S.relation_total; }
+INT getTrainTotal() { return S.train_total; }
+INT getTestTotal() { return S.test_total; }
+INT getValidTotal() { return S.valid_total; }
+INT getTripleTotal() { return S.triple_total; }
+
+void randReset() {
+    S.rngs.clear();
+    std::random_device rd;
+    for (INT i = 0; i < S.work_threads; i++) S.rngs.emplace_back(rd() + i * 7919);
+}
+
+void setSeed(INT seed) {
+    S.rngs.clear();
+    for (INT i = 0; i < S.work_threads; i++) S.rngs.emplace_back(seed + i * 7919);
+}
+
+void importTrainFiles() {
+    S.entity_total = read_count(S.in_path + "entity2id.txt");
+    S.relation_total = read_count(S.in_path + "relation2id.txt");
+    auto raw = read_triples(S.in_path + "train2id.txt", nullptr);
+    std::sort(raw.begin(), raw.end(), cmp_hrt);
+    raw.erase(std::unique(raw.begin(), raw.end()), raw.end());
+    S.train = raw;
+    S.train_total = (INT)raw.size();
+    S.by_head = raw;  // already hrt-sorted
+    S.by_tail = raw;
+    std::sort(S.by_tail.begin(), S.by_tail.end(), cmp_trh);
+    build_offsets(S.by_head, S.head_off, true);
+    build_offsets(S.by_tail, S.tail_off, false);
+
+    // Bernoulli statistics per relation (Reader.h:141-158 semantics).
+    std::vector<double> freq(S.relation_total, 0);
+    std::vector<std::vector<INT>> heads(S.relation_total), tails(S.relation_total);
+    for (const auto& tr : raw) {
+        freq[tr.r] += 1;
+        heads[tr.r].push_back(tr.h);
+        tails[tr.r].push_back(tr.t);
+    }
+    S.left_mean.assign(S.relation_total, 0);
+    S.right_mean.assign(S.relation_total, 0);
+    for (INT r = 0; r < S.relation_total; r++) {
+        auto uniq = [](std::vector<INT>& v) {
+            std::sort(v.begin(), v.end());
+            v.erase(std::unique(v.begin(), v.end()), v.end());
+            return std::max<size_t>(v.size(), 1);
+        };
+        S.left_mean[r] = (REAL)(freq[r] / uniq(heads[r]));
+        S.right_mean[r] = (REAL)(freq[r] / uniq(tails[r]));
+    }
+    if (S.rngs.empty()) randReset();
+    S.all_sorted = S.train;  // until test files are imported
+}
+
+void importTestFiles() {
+    S.test_list = read_triples(S.in_path + "test2id.txt", &S.test_total);
+    S.valid_list = read_triples(S.in_path + "valid2id.txt", &S.valid_total);
+    S.all_sorted = S.train;
+    S.all_sorted.insert(S.all_sorted.end(), S.test_list.begin(), S.test_list.end());
+    S.all_sorted.insert(S.all_sorted.end(), S.valid_list.begin(), S.valid_list.end());
+    std::sort(S.all_sorted.begin(), S.all_sorted.end(), cmp_hrt);
+    S.all_sorted.erase(std::unique(S.all_sorted.begin(), S.all_sorted.end()), S.all_sorted.end());
+    S.triple_total = (INT)S.all_sorted.size();
+}
+
+void importTypeFiles() {
+    S.head_type.assign(S.relation_total, {});
+    S.tail_type.assign(S.relation_total, {});
+    FILE* f = fopen((S.in_path + "type_constrain.txt").c_str(), "r");
+    if (!f) return;
+    long long n = 0;
+    if (fscanf(f, "%lld", &n) != 1) { fclose(f); return; }
+    for (long long i = 0; i < 2 * n; i++) {
+        long long rel = 0, cnt = 0;
+        if (fscanf(f, "%lld%lld", &rel, &cnt) != 2) break;
+        std::vector<INT> ids(cnt);
+        for (long long j = 0; j < cnt; j++) {
+            long long e;
+            if (fscanf(f, "%lld", &e) != 1) break;
+            ids[j] = (INT)e;
+        }
+        std::sort(ids.begin(), ids.end());
+        // lines alternate: head candidates then tail candidates per relation
+        if (i % 2 == 0) S.head_type[rel] = std::move(ids);
+        else S.tail_type[rel] = std::move(ids);
+    }
+    fclose(f);
+    S.has_types = true;
+}
+
+// OpenKE sampling ABI: batch arrays hold batchSize positives followed by
+// negRate blocks of batchSize corruptions each (Base.cpp:104-146 layout).
+void sampling(INT* batch_h, INT* batch_t, INT* batch_r, REAL* batch_y,
+              INT batch_size, INT neg_rate, INT neg_rel_rate, INT mode,
+              bool filter_flag, bool /*p*/, bool /*val_loss*/) {
+    INT n_threads = std::max<INT>(S.work_threads, 1);
+    auto worker = [&](INT tid) {
+        INT chunk = (batch_size + n_threads - 1) / n_threads;
+        INT lef = tid * chunk, rig = std::min(batch_size, (tid + 1) * chunk);
+        std::uniform_int_distribution<INT> pick(0, S.train_total - 1);
+        std::uniform_real_distribution<double> unif(0.0, 1.0);
+        for (INT b = lef; b < rig; b++) {
+            const Triple& tr = S.train[pick(S.rngs[tid])];
+            batch_h[b] = tr.h; batch_t[b] = tr.t; batch_r[b] = tr.r; batch_y[b] = 1;
+            INT last = batch_size;
+            for (INT k = 0; k < neg_rate; k++) {
+                bool replace_tail;
+                if (mode == 0) {
+                    double prob = 0.5;
+                    if (S.bern)
+                        prob = S.right_mean[tr.r] / (S.right_mean[tr.r] + S.left_mean[tr.r]);
+                    replace_tail = unif(S.rngs[tid]) < prob;
+                } else {
+                    replace_tail = mode != -1;
+                }
+                if (replace_tail) {
+                    batch_h[b + last] = tr.h;
+                    batch_t[b + last] = filter_flag ? corrupt_filtered(tid, tr.h, tr.r, true)
+                                                    : corrupt_unfiltered(tid, tr.t);
+                } else {
+                    batch_h[b + last] = filter_flag ? corrupt_filtered(tid, tr.t, tr.r, false)
+                                                    : corrupt_unfiltered(tid, tr.h);
+                    batch_t[b + last] = tr.t;
+                }
+                batch_r[b + last] = tr.r;
+                batch_y[b + last] = -1;
+                last += batch_size;
+            }
+            for (INT k = 0; k < neg_rel_rate; k++) {
+                std::uniform_int_distribution<INT> rdist(0, S.relation_total - 2);
+                INT rr = rdist(S.rngs[tid]);
+                if (rr >= tr.r) rr += 1;
+                batch_h[b + last] = tr.h;
+                batch_t[b + last] = tr.t;
+                batch_r[b + last] = rr;
+                batch_y[b + last] = -1;
+                last += batch_size;
+            }
+        }
+    };
+    std::vector<std::thread> threads;
+    for (INT i = 0; i < n_threads; i++) threads.emplace_back(worker, i);
+    for (auto& th : threads) th.join();
+}
+
+void initTest() {
+    l_raw = l_filt = r_raw = r_filt = Accum{};
+    l_raw_tc = l_filt_tc = r_raw_tc = r_filt_tc = Accum{};
+}
+
+void getHeadBatch(INT* ph, INT* pt, INT* pr, INT index) {
+    const Triple& tr = S.test_list[index];
+    for (INT i = 0; i < S.entity_total; i++) { ph[i] = i; pt[i] = tr.t; pr[i] = tr.r; }
+}
+
+void getTailBatch(INT* ph, INT* pt, INT* pr, INT index) {
+    const Triple& tr = S.test_list[index];
+    for (INT i = 0; i < S.entity_total; i++) { ph[i] = tr.h; pt[i] = i; pr[i] = tr.r; }
+}
+
+// con: lower-is-better scores for all entities as candidate heads.
+void testHead(REAL* con, INT index, bool type_constrain) {
+    const Triple& tr = S.test_list[index];
+    REAL truth = con[tr.h];
+    INT below = 0, below_f = 0, below_tc = 0, below_ftc = 0;
+    const std::vector<INT>* types = (type_constrain && S.has_types) ? &S.head_type[tr.r] : nullptr;
+    size_t ti = 0;
+    for (INT j = 0; j < S.entity_total; j++) {
+        if (j == tr.h) continue;
+        bool better = con[j] < truth;
+        bool in_type = false;
+        if (types) {
+            while (ti < types->size() && (*types)[ti] < j) ti++;
+            in_type = ti < types->size() && (*types)[ti] == j;
+        }
+        if (better) {
+            below++;
+            bool known = find_triple(j, tr.r, tr.t);
+            if (!known) below_f++;
+            if (in_type) {
+                below_tc++;
+                if (!known) below_ftc++;
+            }
+        }
+    }
+    l_raw.add(below);
+    l_filt.add(below_f);
+    if (types) { l_raw_tc.add(below_tc); l_filt_tc.add(below_ftc); }
+}
+
+void testTail(REAL* con, INT index, bool type_constrain) {
+    const Triple& tr = S.test_list[index];
+    REAL truth = con[tr.t];
+    INT below = 0, below_f = 0, below_tc = 0, below_ftc = 0;
+    const std::vector<INT>* types = (type_constrain && S.has_types) ? &S.tail_type[tr.r] : nullptr;
+    size_t ti = 0;
+    for (INT j = 0; j < S.entity_total; j++) {
+        if (j == tr.t) continue;
+        bool better = con[j] < truth;
+        bool in_type = false;
+        if (types) {
+            while (ti < types->size() && (*types)[ti] < j) ti++;
+            in_type = ti < types->size() && (*types)[ti] == j;
+        }
+        if (better) {
+            below++;
+            bool known = find_triple(tr.h, tr.r, j);
+            if (!known) below_f++;
+            if (in_type) {
+                below_tc++;
+                if (!known) below_ftc++;
+            }
+        }
+    }
+    r_raw.add(below);
+    r_filt.add(below_f);
+    if (types) { r_raw_tc.add(below_tc); r_filt_tc.add(below_ftc); }
+}
+
+void test_link_prediction(bool type_constrain) {
+    const Accum& lr = type_constrain ? l_raw_tc : l_raw;
+    const Accum& lf = type_constrain ? l_filt_tc : l_filt;
+    const Accum& rr = type_constrain ? r_raw_tc : r_raw;
+    const Accum& rf = type_constrain ? r_filt_tc : r_filt;
+    double n = std::max(lr.n, 1.0);
+    // index 0 = raw averaged l/r, index 1 = filtered averaged l/r
+    link_mrr[0] = (REAL)((lr.reci + rr.reci) / (2 * n));
+    link_mr[0] = (REAL)((lr.rank + rr.rank) / (2 * n));
+    link_h10[0] = (REAL)((lr.h10 + rr.h10) / (2 * n));
+    link_h3[0] = (REAL)((lr.h3 + rr.h3) / (2 * n));
+    link_h1[0] = (REAL)((lr.h1 + rr.h1) / (2 * n));
+    link_mrr[1] = (REAL)((lf.reci + rf.reci) / (2 * n));
+    link_mr[1] = (REAL)((lf.rank + rf.rank) / (2 * n));
+    link_h10[1] = (REAL)((lf.h10 + rf.h10) / (2 * n));
+    link_h3[1] = (REAL)((lf.h3 + rf.h3) / (2 * n));
+    link_h1[1] = (REAL)((lf.h1 + rf.h1) / (2 * n));
+    printf("metric      | raw       | filtered\n");
+    printf("MRR         | %f | %f\n", link_mrr[0], link_mrr[1]);
+    printf("MR          | %f | %f\n", link_mr[0], link_mr[1]);
+    printf("Hits@10     | %f | %f\n", link_h10[0], link_h10[1]);
+    printf("Hits@3      | %f | %f\n", link_h3[0], link_h3[1]);
+    printf("Hits@1      | %f | %f\n", link_h1[0], link_h1[1]);
+}
+
+// Getters take the type_constrain flag like the reference's (the constrain
+// choice was already applied inside test_link_prediction) and return the
+// *filtered* metric — the value OpenKE's README table reports.
+REAL getTestLinkMRR(INT) { return link_mrr[1]; }
+REAL getTestLinkMR(INT) { return link_mr[1]; }
+REAL getTestLinkHit10(INT) { return link_h10[1]; }
+REAL getTestLinkHit3(INT) { return link_h3[1]; }
+REAL getTestLinkHit1(INT) { return link_h1[1]; }
+REAL getTestLinkMRRRaw() { return link_mrr[0]; }
+REAL getTestLinkMRRaw() { return link_mr[0]; }
+REAL getTestLinkHit10Raw() { return link_h10[0]; }
+
+}  // extern "C"

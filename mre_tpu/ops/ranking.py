@@ -50,10 +50,10 @@ def _filter_mask(kg: DeviceKG, anchors: jnp.ndarray, r: jnp.ndarray, side: str,
         offsets, values = kg.hr_offsets, kg.hrt_tails
     else:
         offsets, values = kg.tr_offsets, kg.trh_heads
-    rows = anchors.astype(jnp.int64) * kg.n_relations + r.astype(jnp.int64)
+    rows = anchors.astype(jnp.int32) * kg.n_relations + r.astype(jnp.int32)
     start = offsets[rows]
     cnt = offsets[rows + 1] - start
-    lane = jnp.arange(pad, dtype=jnp.int64)
+    lane = jnp.arange(pad, dtype=jnp.int32)
     gidx = jnp.minimum(start[:, None] + lane[None, :], values.shape[0] - 1)
     vals = values[gidx].astype(jnp.int32)
     valid = lane[None, :] < cnt[:, None]

@@ -12,9 +12,9 @@ batched, and host-loop-free:
   index (data/kg.py), the shift ``u → u + #{s_i − i ≤ u}`` is one masked
   compare-and-sum over a padded gather of the range.
 * **Rejection fallback** — rows whose true set exceeds the static pad width
-  fall back to vectorized rejection sampling with membership tested by
-  ``searchsorted`` over the packed int64 key array (the base/Corrupt.h:166-177
-  ``_find`` binary search, vectorized).
+  fall back to vectorized rejection sampling with membership tested by a
+  fixed-iteration per-row binary search (the base/Corrupt.h:166-177 ``_find``,
+  vectorized; int32 throughout — no 64-bit keys needed on device).
 * **Bernoulli head/tail choice** — per-relation left/right means
   (base/Reader.h:141-158, Base.cpp:112-115) drive the corruption side.
 """
@@ -36,12 +36,41 @@ EXACT_PAD = 128
 REJECTION_ROUNDS = 12
 
 
+def _row_lower_bound(values: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
+                     target: jnp.ndarray, n_iters: int = 32) -> jnp.ndarray:
+    """Vectorized lower_bound of ``target`` within each CSR slice [lo, hi).
+
+    Fixed-iteration binary search (int32 throughout — no 64-bit keys needed
+    on device); 32 iterations cover any slice length < 2³¹.
+    """
+
+    def body(_, carry):
+        lo, hi = carry
+        active = lo < hi
+        mid = (lo + hi) // 2
+        v = values[jnp.clip(mid, 0, values.shape[0] - 1)]
+        go_right = jnp.logical_and(active, v < target)
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(jnp.logical_and(active, ~go_right), mid, hi)
+        return lo, hi
+
+    lo, _ = jax.lax.fori_loop(0, n_iters, body, (lo, hi))
+    return lo
+
+
 def _contains(kg: DeviceKG, h: jnp.ndarray, r: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
-    """Vectorized membership test over the full (deduped) triple set."""
-    keys = (h.astype(jnp.int64) * kg.n_relations + r.astype(jnp.int64)) * kg.n_entities + t.astype(jnp.int64)
-    idx = jnp.searchsorted(kg.hrt_keys, keys)
-    idx = jnp.minimum(idx, kg.hrt_keys.shape[0] - 1)
-    return kg.hrt_keys[idx] == keys
+    """Vectorized membership test over the full (deduped) triple set —
+    binary search of t within the sorted true-tail slice of row (h, r)
+    (the base/Corrupt.h:166-177 ``_find``, batched)."""
+    h = h.astype(jnp.int32)
+    r = r.astype(jnp.int32)
+    t = t.astype(jnp.int32)
+    rows = h * kg.n_relations + r
+    lo = kg.hr_offsets[rows]
+    hi = kg.hr_offsets[rows + 1]
+    pos = _row_lower_bound(kg.hrt_tails, lo, hi, t)
+    v = kg.hrt_tails[jnp.clip(pos, 0, kg.hrt_tails.shape[0] - 1)]
+    return jnp.logical_and(pos < hi, v == t)
 
 
 def _complement_draw(key: jax.Array, values: jnp.ndarray, offsets: jnp.ndarray,
@@ -70,7 +99,7 @@ def corrupt_tails(key: jax.Array, kg: DeviceKG, h: jnp.ndarray, r: jnp.ndarray,
                   pad: int = EXACT_PAD) -> jnp.ndarray:
     """One filtered corrupted tail per (h, r) — never a true tail."""
     k_exact, k_rej = jax.random.split(key)
-    rows = h.astype(jnp.int64) * kg.n_relations + r.astype(jnp.int64)
+    rows = h.astype(jnp.int32) * kg.n_relations + r.astype(jnp.int32)
     exact, ok = _complement_draw(k_exact, kg.hrt_tails, kg.hr_offsets, rows, kg.n_entities, pad)
     rej = _rejection(k_rej, kg, h, r, corrupt_side="tail")
     return jnp.where(ok, exact, rej)
@@ -80,7 +109,7 @@ def corrupt_heads(key: jax.Array, kg: DeviceKG, t: jnp.ndarray, r: jnp.ndarray,
                   pad: int = EXACT_PAD) -> jnp.ndarray:
     """One filtered corrupted head per (t, r) — never a true head."""
     k_exact, k_rej = jax.random.split(key)
-    rows = t.astype(jnp.int64) * kg.n_relations + r.astype(jnp.int64)
+    rows = t.astype(jnp.int32) * kg.n_relations + r.astype(jnp.int32)
     exact, ok = _complement_draw(k_exact, kg.trh_heads, kg.tr_offsets, rows, kg.n_entities, pad)
     rej = _rejection(k_rej, kg, t, r, corrupt_side="head")
     return jnp.where(ok, exact, rej)

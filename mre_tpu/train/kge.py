@@ -1,0 +1,183 @@
+"""Structure-only KGE training — the OpenKE Trainer, TPU-native.
+
+One jitted train step fuses: on-device uniform positive draw + filtered
+Bernoulli corruption (ops/sampling.py), score computation, ranking loss with
+optional self-adversarial weighting and L2/L3 regularization, and the
+optimizer update. Replaces the host round-trip of
+OpenKE config/Trainer.py:42-53 + Base.cpp sampling entirely — zero
+host↔device traffic in steady state.
+
+Sharding: with a multi-device mesh, parameters are replicated and the batch
+axis is sharded over ``data`` — XLA all-reduces gradients over ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mre_tpu.data.kg import DeviceKG, TripleTable
+from mre_tpu.models import kge as kge_models
+from mre_tpu.ops import losses as L
+from mre_tpu.ops import sampling
+from mre_tpu.parallel import mesh as pmesh
+from mre_tpu.core.metrics import MetricLogger, RollingMean
+from mre_tpu.core import checkpoint as ckpt
+
+
+def make_optimizer(opt_method: str, lr: float, lr_decay: float = 0.0, weight_decay: float = 0.0):
+    opt_method = opt_method.lower()
+    if opt_method == "adagrad":
+        tx = optax.adagrad(lr)
+    elif opt_method == "adadelta":
+        tx = optax.adadelta(lr)
+    elif opt_method == "adam":
+        tx = optax.adam(lr)
+    else:
+        tx = optax.sgd(lr)
+    if weight_decay:
+        tx = optax.chain(optax.add_decayed_weights(weight_decay), tx)
+    return tx
+
+
+@dataclasses.dataclass
+class KGETrainerConfig:
+    model: str = "transe"
+    dim: int = 200
+    p_norm: int = 1
+    norm_flag: bool = True
+    margin: float = 5.0
+    loss: str = "margin"            # margin | sigmoid | softplus
+    adv_temperature: float | None = None
+    neg_ent: int = 25
+    batch_size: int = 1024
+    bern: bool = True
+    opt_method: str = "sgd"
+    alpha: float = 1.0              # learning rate (OpenKE naming)
+    regul_rate: float = 0.0
+    l3_regul_rate: float = 0.0
+    train_times: int = 1000         # epochs
+    nbatches: int = 100             # steps per epoch (OpenKE TrainDataLoader)
+    seed: int = 0
+
+
+class KGETrainer:
+    """End-to-end structure-only KGE trainer."""
+
+    def __init__(self, table: TripleTable, config: KGETrainerConfig, mesh=None):
+        self.table = table
+        self.cfg = config
+        self.mesh = mesh or pmesh.make_mesh(n_data=1)
+        self.model = kge_models.get(config.model)
+        self.kg = DeviceKG.from_table(table)
+
+        key = jax.random.key(config.seed)
+        self.params = self.model.init(key, table.n_entities, table.n_relations, dim=config.dim)
+        self.tx = make_optimizer(config.opt_method, config.alpha)
+        self.opt_state = self.tx.init(self.params)
+        self._step = self._build_step()
+        self._rng = jax.random.key(config.seed + 1)
+
+    def _build_step(self):
+        cfg = self.cfg
+        model = self.model
+        loss_fn = L.LOSSES[cfg.loss]
+        kg = self.kg
+        tx = self.tx
+
+        def score(params, h, r, t):
+            if cfg.model in ("transe", "transh", "transr", "transd"):
+                return model.score(params, h, r, t, p_norm=cfg.p_norm, norm_flag=cfg.norm_flag)
+            return model.score(params, h, r, t)
+
+        def loss(params, batch: sampling.NegativeBatch):
+            p = score(params, batch.h, batch.r, batch.t)[:, None]
+            n = score(params,
+                      batch.neg_h, jnp.broadcast_to(batch.r[:, None], batch.neg_h.shape),
+                      batch.neg_t)
+            # distance models: loss wants (p_small, n_big); similarity models
+            # feed (p, n) to sigmoid/softplus directly. MarginLoss in the
+            # reference always receives (p, n) in forward orientation.
+            kwargs = {}
+            if cfg.loss == "margin":
+                kwargs["margin"] = cfg.margin
+            if cfg.adv_temperature:
+                kwargs["adv_temperature"] = cfg.adv_temperature
+            if model.higher_is_better and cfg.loss == "margin":
+                value = loss_fn(-p, -n, **kwargs)
+            else:
+                value = loss_fn(p, n, **kwargs)
+            if cfg.regul_rate:
+                all_h = jnp.concatenate([batch.h[:, None], batch.neg_h], 1)
+                all_t = jnp.concatenate([batch.t[:, None], batch.neg_t], 1)
+                all_r = jnp.broadcast_to(batch.r[:, None], all_h.shape)
+                value = value + cfg.regul_rate * model.regularization(params, all_h, all_r, all_t)
+            if cfg.l3_regul_rate and cfg.model in ("distmult", "hole"):
+                value = value + cfg.l3_regul_rate * kge_models.distmult_l3_regularization(params)
+            return value
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(params, opt_state, rng):
+            rng, sub = jax.random.split(rng)
+            batch = sampling.sample_training_batch(sub, kg, cfg.batch_size, cfg.neg_ent, cfg.bern)
+            value, grads = jax.value_and_grad(loss)(params, batch)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, rng, value
+
+        return train_step
+
+    def run(self, log_every: int = 50, logger: MetricLogger | None = None,
+            save_steps: int | None = None, checkpoint_dir: str | None = None) -> float:
+        cfg = self.cfg
+        roll = RollingMean(cfg.nbatches)
+        last = 0.0
+        for epoch in range(cfg.train_times):
+            epoch_loss = 0.0
+            for _ in range(cfg.nbatches):
+                self.params, self.opt_state, self._rng, value = self._step(
+                    self.params, self.opt_state, self._rng)
+                epoch_loss += float(value)
+            last = epoch_loss
+            roll.add(epoch_loss)
+            if logger and (epoch % log_every == 0 or epoch == cfg.train_times - 1):
+                logger.log({"epoch": epoch, "loss": epoch_loss}, step=epoch)
+            if save_steps and checkpoint_dir and (epoch + 1) % save_steps == 0:
+                ckpt.save_checkpoint(f"{checkpoint_dir}/{cfg.model}-{epoch}.ckpt", self.params)
+        return last
+
+    # -- evaluation ------------------------------------------------------
+
+    def link_prediction(self, test_triples: np.ndarray, filter_table: TripleTable | None = None,
+                        type_constraints=None, chunk: int = 256):
+        from mre_tpu.ops import ranking
+
+        filt = DeviceKG.from_table(filter_table) if filter_table is not None else self.kg
+        cfg = self.cfg
+        model = self.model
+        params = self.params
+
+        if cfg.model in ("transe", "transh", "transr", "transd"):
+            base_predict = model.predict
+
+            def predict(p, h, r, t):
+                return base_predict(p, h, r, t, p_norm=cfg.p_norm, norm_flag=cfg.norm_flag)
+
+            model = dataclasses.replace(model, predict=predict)
+
+        all_tails, all_heads = ranking.make_predict_all(model, params, filt)
+        filter_pad = int(max(
+            np.max(np.diff(filter_table.hr_offsets)) if filter_table is not None else np.max(np.diff(self.table.hr_offsets)),
+            np.max(np.diff(filter_table.tr_offsets)) if filter_table is not None else np.max(np.diff(self.table.tr_offsets)),
+            1,
+        ))
+        return ranking.link_prediction(all_tails, all_heads, filt, test_triples,
+                                       chunk=chunk, filter_pad=filter_pad,
+                                       type_constraints=type_constraints)
