@@ -1,0 +1,178 @@
+"""Headline benchmark: zero-shot candidate-ranking throughput.
+
+Measures the framework's hot path — scoring padded candidate lists with the
+Extractor + generated relation vectors (mre_tpu/eval/zero_shot.py) — on the
+available accelerator, against a faithful PyTorch-CPU re-enactment of the
+reference's per-query host loop (module/zsl_module.py:656-726: per candidate
+list build meta tensors → Extractor forward → cosine → argsort).
+
+Prints ONE JSON line:
+  {"metric": "zsl_candidate_ranking_throughput", "value": <triples/sec>,
+   "unit": "triples/sec", "vs_baseline": <speedup vs torch-cpu reference>}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+# workload at FB15K-237-ZS scale (BASELINE.md)
+EMB_DIM = 200
+MAX_NEIGHBOR = 50
+N_SYMBOLS = 14208 + 235
+N_ENTS = 14208
+C = 301                    # candidates per query (true + 300)
+Q_DEVICE = 512             # queries timed on device
+Q_BASELINE = 12            # queries timed on the torch-cpu reference path
+TEST_SAMPLE = 20
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def make_workload(seed=0):
+    rng = np.random.default_rng(seed)
+    symbols = rng.normal(size=(N_SYMBOLS + 1, EMB_DIM)).astype(np.float32)
+    connections = rng.integers(0, N_SYMBOLS, (N_ENTS, MAX_NEIGHBOR, 2)).astype(np.int32)
+    degrees = rng.integers(1, MAX_NEIGHBOR, N_ENTS).astype(np.float32)
+    rel_vecs = rng.normal(size=(TEST_SAMPLE, EMB_DIM)).astype(np.float32)
+    pairs = rng.integers(235, N_SYMBOLS, (Q_DEVICE, C, 2)).astype(np.int32)
+    ents = rng.integers(0, N_ENTS, (Q_DEVICE, C, 2)).astype(np.int32)
+    return symbols, connections, degrees, rel_vecs, pairs, ents
+
+
+def run_device(symbols, connections, degrees, rel_vecs, pairs, ents):
+    import jax
+    import jax.numpy as jnp
+
+    from mre_tpu.eval.zero_shot import _score_and_rank
+    from mre_tpu.models.extractor import Extractor
+
+    extractor = Extractor(embed_dim=EMB_DIM)
+    symbols_d = jnp.asarray(symbols)
+    conns_d = jnp.asarray(connections)
+    degs_d = jnp.asarray(degrees)
+    dummy = jnp.asarray(pairs[0, :2])
+    meta0 = (conns_d[jnp.zeros(2, jnp.int32)], degs_d[jnp.zeros(2, jnp.int32)],
+             conns_d[jnp.zeros(2, jnp.int32)], degs_d[jnp.zeros(2, jnp.int32)])
+    params = extractor.init({"params": jax.random.key(0)}, symbols_d, dummy,
+                            dummy, meta0, meta0, True)["params"]
+
+    chunk = 32  # queries per device call → [chunk*C] pair batch
+
+    @jax.jit
+    def score_chunk(pairs_c, left, right, rel_vecs_d):
+        meta = (conns_d[left], degs_d[left], conns_d[right], degs_d[right])
+        emb, _ = extractor.apply({"params": params}, symbols_d,
+                                 pairs_c, pairs_c, meta, meta, True)
+        emb = emb.reshape(chunk, C, EMB_DIM)
+        mask = jnp.ones((chunk, C), bool)
+        return _score_and_rank(emb, rel_vecs_d, mask)
+
+    rel_vecs_d = jnp.asarray(rel_vecs)
+
+    def run_all():
+        ranks = []
+        for i in range(0, Q_DEVICE, chunk):
+            p = jnp.asarray(pairs[i:i + chunk].reshape(-1, 2))
+            l = jnp.asarray(ents[i:i + chunk, :, 0].reshape(-1))
+            r = jnp.asarray(ents[i:i + chunk, :, 1].reshape(-1))
+            ranks.append(score_chunk(p, l, r, rel_vecs_d))
+        return jax.block_until_ready(jnp.concatenate(ranks))
+
+    log("device: compiling...")
+    run_all()
+    log("device: timing...")
+    t0 = time.perf_counter()
+    run_all()
+    dt = time.perf_counter() - t0
+    return Q_DEVICE * C / dt
+
+
+def run_torch_baseline(symbols, connections, degrees, rel_vecs, pairs, ents):
+    """Reference-shaped per-query loop on torch CPU (zsl_module.py:656-726)."""
+    import torch
+
+    torch.manual_seed(0)
+
+    class RefExtractor(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            d = EMB_DIM
+            self.emb = torch.nn.Embedding(N_SYMBOLS + 1, d)
+            self.emb.weight.data.copy_(torch.from_numpy(symbols))
+            self.emb.weight.requires_grad = False
+            self.gcn_w = torch.nn.Linear(d, d // 2)
+            self.fc1 = torch.nn.Linear(d, d // 2)
+            self.fc2 = torch.nn.Linear(d, d // 2)
+            self.reshape_layer = torch.nn.Linear(2 * d, d)
+            self.proj1 = torch.nn.Linear(d, 2 * d)
+            self.proj2 = torch.nn.Linear(2 * d, d)
+            self.ln = torch.nn.LayerNorm(d)
+
+        def neighbor(self, conn, deg):
+            e = self.emb(conn[:, :, 1])
+            out = self.gcn_w(e).sum(1) / deg.unsqueeze(1)
+            return out.tanh()
+
+        def forward(self, query, meta):
+            lc, ld, rc, rd = meta
+            e = torch.cat([self.fc1(self.emb(query[:, 0])),
+                           self.fc2(self.emb(query[:, 1]))], -1).tanh()
+            x = torch.cat([self.neighbor(lc, ld), e, self.neighbor(rc, rd)], -1)
+            x = self.reshape_layer(x)
+            return self.ln(self.proj2(torch.relu(self.proj1(x))) + x)
+
+    model = RefExtractor().eval()
+    conn_t = torch.from_numpy(connections)
+    deg_t = torch.from_numpy(degrees)
+
+    def meta_for(idx):
+        # per-query host stacking, as the reference's get_meta does
+        lc = torch.stack([conn_t[i] for i in idx[:, 0]])
+        rc = torch.stack([conn_t[i] for i in idx[:, 1]])
+        ld = torch.tensor([float(deg_t[i]) for i in idx[:, 0]])
+        rd = torch.tensor([float(deg_t[i]) for i in idx[:, 1]])
+        return lc, ld, rc, rd
+
+    t0 = time.perf_counter()
+    with torch.no_grad():
+        for q in range(Q_BASELINE):
+            query = torch.from_numpy(pairs[q].astype(np.int64))
+            meta = meta_for(ents[q])
+            emb = model(query, meta).numpy()
+            # cosine vs TEST_SAMPLE relation vectors, mean, argsort (host)
+            a = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+            b = rel_vecs / np.maximum(np.linalg.norm(rel_vecs, axis=1, keepdims=True), 1e-12)
+            scores = (a @ b.T).mean(1)
+            order = list(np.argsort(scores))[::-1]
+            _ = order.index(0) + 1
+    dt = time.perf_counter() - t0
+    return Q_BASELINE * C / dt
+
+
+def main():
+    workload = make_workload()
+    throughput = run_device(*workload)
+    log(f"device throughput: {throughput:,.0f} triples/sec")
+    try:
+        baseline = run_torch_baseline(*workload)
+        log(f"torch-cpu reference throughput: {baseline:,.0f} triples/sec")
+        vs = throughput / baseline
+    except Exception as e:  # torch unavailable → report raw throughput
+        log(f"baseline failed: {e}")
+        vs = float("nan")
+    print(json.dumps({
+        "metric": "zsl_candidate_ranking_throughput",
+        "value": round(throughput, 1),
+        "unit": "triples/sec",
+        "vs_baseline": round(vs, 2) if vs == vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

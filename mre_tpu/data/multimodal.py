@@ -1,0 +1,213 @@
+"""Host-side multimodal data pipeline.
+
+Replaces the reference's on-the-fly torch pipeline (module/data.py:44-339)
+with a numpy pipeline designed to keep a TPU fed:
+
+* text is tokenized **once** per entity / relation and cached as dense
+  int32 arrays (the reference re-tokenizes every batch in the train loop —
+  its dominant host cost, SURVEY.md §3.1);
+* image decode + RandomResizedCrop + flip + normalize run in numpy/PIL on
+  the host; entities without an image get the reference's scaled-Xavier
+  noise placeholder (module/data.py:286-290);
+* batches come out as contiguous numpy arrays with static shapes, ready for
+  an async device_put.
+
+Tokenization: uses a HuggingFace tokenizer when a local path/name is given
+(the reference leaves the path blank for the user to fill,
+module/data.py:57); otherwise falls back to a self-contained hashing
+tokenizer so the full pipeline runs hermetically.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+from typing import Sequence
+
+import numpy as np
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+CC12M_MEAN = (0.5762, 0.5503, 0.5213)
+CC12M_STD = (0.3207, 0.3169, 0.3307)
+
+
+class HashingTokenizer:
+    """Deterministic whitespace+hash tokenizer (BERT-shaped output)."""
+
+    def __init__(self, vocab_size: int = 30522):
+        self.vocab_size = vocab_size
+
+    def __call__(self, text: str, max_length: int):
+        ids = np.zeros(max_length, np.int32)
+        mask = np.ones(max_length, np.float32)      # 1.0 = PAD (ref convention)
+        words = text.split()[:max_length]
+        for i, w in enumerate(words):
+            # stable across processes (unlike hash())
+            h = 2166136261
+            for ch in w.encode():
+                h = ((h ^ ch) * 16777619) & 0xFFFFFFFF
+            ids[i] = 1 + h % (self.vocab_size - 1)
+            mask[i] = 0.0
+        return ids, mask
+
+
+class HFTokenizer:
+    def __init__(self, name_or_path: str, vocab_size: int | None = None):
+        import transformers
+
+        self.tok = transformers.BertTokenizer.from_pretrained(name_or_path)
+        self.vocab_size = self.tok.vocab_size
+
+    def __call__(self, text: str, max_length: int):
+        enc = self.tok(text, padding="max_length", truncation=True,
+                       max_length=max_length, return_tensors="np",
+                       add_special_tokens=False)
+        if enc["input_ids"][0].size == 0:
+            return np.zeros(max_length, np.int32), np.ones(max_length, np.float32)
+        ids = enc["input_ids"][0].astype(np.int32)
+        mask = 1.0 - enc["attention_mask"][0].astype(np.float32)
+        return ids, mask
+
+
+def make_tokenizer(name_or_path: str | None = None, vocab_size: int = 30522):
+    if name_or_path:
+        try:
+            return HFTokenizer(name_or_path)
+        except Exception:
+            pass
+    return HashingTokenizer(vocab_size)
+
+
+def _decode_image(data: bytes) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(data))
+    if img.mode != "RGB":
+        img = img.convert("RGB")
+    return np.asarray(img, np.uint8)
+
+
+def random_resized_crop(rng: np.random.Generator, img: np.ndarray, out_size: int,
+                        scale=(0.2, 1.0), ratio=(3 / 4, 4 / 3)) -> np.ndarray:
+    """RandomResizedCrop(+bicubic resize) matching torchvision semantics."""
+    from PIL import Image
+
+    h, w = img.shape[:2]
+    area = h * w
+    for _ in range(10):
+        target = area * rng.uniform(*scale)
+        log_r = rng.uniform(np.log(ratio[0]), np.log(ratio[1]))
+        ar = np.exp(log_r)
+        cw = int(round(np.sqrt(target * ar)))
+        ch = int(round(np.sqrt(target / ar)))
+        if 0 < cw <= w and 0 < ch <= h:
+            top = rng.integers(0, h - ch + 1)
+            left = rng.integers(0, w - cw + 1)
+            crop = img[top:top + ch, left:left + cw]
+            break
+    else:
+        side = min(h, w)
+        top, left = (h - side) // 2, (w - side) // 2
+        crop = img[top:top + side, left:left + side]
+    pil = Image.fromarray(crop).resize((out_size, out_size), Image.BICUBIC)
+    return np.asarray(pil, np.uint8)
+
+
+@dataclasses.dataclass
+class MultimodalPipelineConfig:
+    image_size: int = 256
+    tokenizer: str | None = None
+    vocab_size: int = 30522
+    tokenizer_max_length: int = 64
+    unpaired_tokenizer_max_length: int = 320
+    image_normalization: str = "imagenet"      # imagenet | cc12m | none
+    image_only: bool = False
+    text_only: bool = False
+    seed: int = 0
+
+
+class MultimodalStore:
+    """Per-entity multimodal records + per-relation descriptions, pre-tokenized."""
+
+    def __init__(self, mm_info: Sequence, rel_descriptions: Sequence[str],
+                 config: MultimodalPipelineConfig | None = None):
+        self.config = config or MultimodalPipelineConfig()
+        cfg = self.config
+        self.tokenizer = make_tokenizer(cfg.tokenizer, cfg.vocab_size)
+        self.vocab_size = self.tokenizer.vocab_size
+        self._rng = np.random.default_rng(cfg.seed)
+
+        if cfg.image_normalization == "imagenet":
+            self.image_mean, self.image_std = IMAGENET_MEAN, IMAGENET_STD
+        elif cfg.image_normalization == "cc12m":
+            self.image_mean, self.image_std = CC12M_MEAN, CC12M_STD
+        else:
+            self.image_mean, self.image_std = (0, 0, 0), (1, 1, 1)
+
+        n = len(mm_info)
+        L = cfg.tokenizer_max_length
+        self.has_image = np.zeros(n, bool)
+        self.images: list[bytes | None] = [None] * n
+        self.text_ids = np.zeros((n, L), np.int32)
+        self.text_mask = np.ones((n, L), np.float32)
+        for i, rec in enumerate(mm_info):
+            if len(rec) == 2:
+                self.images[i] = rec[0]
+                self.has_image[i] = True
+                text = rec[1]
+            else:
+                text = rec[0]
+            ids, mask = self.tokenizer(text, L)
+            self.text_ids[i] = ids
+            self.text_mask[i] = mask
+
+        D = cfg.unpaired_tokenizer_max_length
+        R = len(rel_descriptions)
+        self.rel_ids = np.zeros((R, D), np.int32)
+        self.rel_mask = np.ones((R, D), np.float32)
+        for j, des in enumerate(rel_descriptions):
+            ids, mask = self.tokenizer(des, D)
+            self.rel_ids[j] = ids
+            self.rel_mask[j] = mask
+
+        self.num_nodes = n
+        self.num_relations = R
+
+    def _placeholder_image(self) -> np.ndarray:
+        """Scaled-Xavier noise image for text-only entities
+        (module/data.py:286-290: xavier_uniform(256,256,3) × 10)."""
+        s = self.config.image_size
+        limit = np.sqrt(6.0 / (s + 3))
+        return (self._rng.uniform(-limit, limit, (s, s, 3)) * 10.0).astype(np.float32)
+
+    def entity_images(self, node_ids: np.ndarray, train: bool = True) -> np.ndarray:
+        cfg = self.config
+        out = np.empty((len(node_ids), cfg.image_size, cfg.image_size, 3), np.float32)
+        mean = np.asarray(self.image_mean, np.float32)
+        std = np.asarray(self.image_std, np.float32)
+        for k, i in enumerate(np.asarray(node_ids)):
+            if self.has_image[i]:
+                img = _decode_image(self.images[i])
+                img = random_resized_crop(self._rng, img, cfg.image_size)
+                if train and self._rng.random() < 0.5:
+                    img = img[:, ::-1]
+                out[k] = (img.astype(np.float32) / 255.0 - mean) / std
+            else:
+                out[k] = self._placeholder_image()
+        return out
+
+    def generate_batch(self, node_ids, rel_ids, train: bool = True) -> dict:
+        """Reference MMKGDataset.generate_batch semantics
+        (module/data.py:272-314), pre-tokenized and batched."""
+        node_ids = np.asarray(node_ids, np.int32)
+        rel_ids = np.asarray(rel_ids, np.int32)
+        batch = {
+            "text": self.text_ids[node_ids],
+            "text_padding_mask": self.text_mask[node_ids],
+            "rel_des": self.rel_ids[rel_ids],
+            "rel_des_padding_mask": self.rel_mask[rel_ids],
+        }
+        if not self.config.text_only:
+            batch["image"] = self.entity_images(node_ids, train)
+        return batch

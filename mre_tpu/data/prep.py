@@ -1,0 +1,159 @@
+"""Offline dataset-preparation utilities.
+
+Function-level equivalents of the reference's 12 `utils/` scripts
+(SURVEY.md §2.1 "Offline prep scripts"): split construction, id maps,
+candidate generation, and type-constraint files. All pure-python/numpy,
+operating on in-memory structures with thin file wrappers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+from collections import defaultdict
+
+import numpy as np
+
+
+def seen_unseen_split(triples_by_rel: dict, n_unseen: int = 40, seed: int = 0):
+    """Random unseen-relation split (utils/seen_unseen_split.py)."""
+    rng = random.Random(seed)
+    rels = sorted(triples_by_rel)
+    unseen = set(rng.sample(rels, min(n_unseen, len(rels))))
+    train = {r: v for r, v in triples_by_rel.items() if r not in unseen}
+    test = {r: v for r, v in triples_by_rel.items() if r in unseen}
+    return train, test
+
+
+def frequency_split(triples_by_rel: dict, n_unseen: int = 40,
+                    min_count: int = 50, max_count: int = 1000, seed: int = 0):
+    """Frequency-based unseen split keeping entity coverage
+    (utils/adjust_FB15K-237.py behavior): unseen relations are drawn from
+    mid-frequency relations so that no entity appears only in test."""
+    rng = random.Random(seed)
+    candidates = [r for r, rows in triples_by_rel.items()
+                  if min_count <= len(rows) <= max_count]
+    rng.shuffle(candidates)
+    seen_entities = set()
+    for r, rows in triples_by_rel.items():
+        if r not in candidates:
+            for h, _, t in rows:
+                seen_entities.add(h)
+                seen_entities.add(t)
+    unseen = []
+    for r in candidates:
+        if len(unseen) >= n_unseen:
+            break
+        ents = {e for row in triples_by_rel[r] for e in (row[0], row[2])}
+        others = seen_entities | {e for rr in candidates if rr != r and rr not in unseen
+                                  for row in triples_by_rel[rr] for e in (row[0], row[2])}
+        if ents <= others:
+            unseen.append(r)
+    unseen = set(unseen)
+    train = {r: v for r, v in triples_by_rel.items() if r not in unseen}
+    test = {r: v for r, v in triples_by_rel.items() if r in unseen}
+    return train, test
+
+
+def train_valid_split(tasks: dict, ratio: float = 0.95, seed: int = 0):
+    """Per-relation train/valid split (utils/splitdata.py)."""
+    rng = random.Random(seed)
+    train, valid = {}, {}
+    for r, rows in tasks.items():
+        rows = list(rows)
+        rng.shuffle(rows)
+        k = int(len(rows) * ratio)
+        train[r], valid[r] = rows[:k], rows[k:]
+    return train, valid
+
+
+def build_id_maps(tasks: dict):
+    """Entity/relation id maps in first-seen order (utils/toid.py)."""
+    e2id, r2id = {}, {}
+    for r, rows in tasks.items():
+        if r not in r2id:
+            r2id[r] = len(r2id)
+        for h, _, t in rows:
+            if h not in e2id:
+                e2id[h] = len(e2id)
+            if t not in e2id:
+                e2id[t] = len(e2id)
+    return e2id, r2id
+
+
+def gen_e1rel_e2(*task_dicts) -> dict:
+    """"<head><rel>" → true tails, over all given splits
+    (utils/gen_e1r_e2_all.py)."""
+    out = defaultdict(list)
+    for tasks in task_dicts:
+        for r, rows in tasks.items():
+            for h, rel, t in rows:
+                out[h + rel].append(t)
+    return dict(out)
+
+
+def gen_rel2candidates(tasks: dict, entities: list, n: int = 300, seed: int = 0) -> dict:
+    """Per relation, n random candidate entities (utils/gen_rel2candidates.py);
+    type-aware variant: candidates drawn from observed tail entities of the
+    relation when enough exist."""
+    rng = random.Random(seed)
+    out = {}
+    for r, rows in tasks.items():
+        tails = sorted({t for _, _, t in rows})
+        pool = tails if len(tails) >= n else entities
+        k = min(n, len(pool))
+        out[r] = rng.sample(list(pool), k)
+    return out
+
+
+def gen_mode_candidates(tasks: dict, rel2candidates: dict, e1rel_e2: dict,
+                        max_candidates: int | None = None) -> dict:
+    """Filtered per-query candidate lists, true tail first at index 0
+    (utils/gen_mode_candidates.py:16-38 → {mode}_candidates.json schema)."""
+    out = {}
+    for r, rows in tasks.items():
+        per_rel = {}
+        cands = rel2candidates.get(r, [])
+        for h, rel, t in rows:
+            known = set(e1rel_e2.get(h + rel, []))
+            noise = [c for c in cands if c != t and c not in known]
+            if max_candidates:
+                noise = noise[:max_candidates]
+            per_rel[f"{h}\t{rel}\t{t}"] = [t] + noise
+        out[r] = per_rel
+    return out
+
+
+def type_constraints(triples: np.ndarray, n_relations: int):
+    """Observed head/tail candidate sets per relation + 1-1/1-n/n-1/n-n
+    classification (utils/n-n.py → type_constrain.txt semantics)."""
+    triples = np.asarray(triples)
+    head_type = {r: sorted(set(triples[triples[:, 1] == r, 0].tolist()))
+                 for r in range(n_relations)}
+    tail_type = {r: sorted(set(triples[triples[:, 1] == r, 2].tolist()))
+                 for r in range(n_relations)}
+
+    # average tails per head / heads per tail → relation category
+    categories = {}
+    for r in range(n_relations):
+        rows = triples[triples[:, 1] == r]
+        if len(rows) == 0:
+            categories[r] = "1-1"
+            continue
+        tph = len(rows) / max(len(set(rows[:, 0].tolist())), 1)
+        hpt = len(rows) / max(len(set(rows[:, 2].tolist())), 1)
+        left = "1" if tph < 1.5 else "n"
+        right = "1" if hpt < 1.5 else "n"
+        categories[r] = f"{right}-{left}"
+    return head_type, tail_type, categories
+
+
+def write_type_constrain_file(path: str, head_type: dict, tail_type: dict):
+    with open(path, "w") as f:
+        f.write(f"{len(head_type)}\n")
+        for r in sorted(head_type):
+            hs = head_type[r]
+            ts = tail_type[r]
+            f.write(f"{r}\t{len(hs)}\t" + "\t".join(map(str, hs)) + "\n")
+            f.write(f"{r}\t{len(ts)}\t" + "\t".join(map(str, ts)) + "\n")

@@ -1,0 +1,60 @@
+"""Relational GCN with basis decomposition, TPU-native.
+
+Equivalent of torch_geometric's ``RGCNConv(in, out, num_relations,
+num_bases=30)`` as used by the reference's structure consolidator
+(module/model.py:552-570): per-relation weights W_r = Σ_b comp[r,b]·B_b,
+mean aggregation over incoming edges *per relation*, root weight and bias.
+
+TPU mapping: one [N, in] × [in, bases·out] matmul projects every node
+through all bases at once (MXU), then a per-edge contraction with the
+relation's basis coefficients and a ``segment_sum`` into destinations —
+no scatter loops, no per-relation Python iteration. Padded edges (marked
+by ``edge_mask``) contribute nothing, keeping shapes static under jit.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class RGCNConv(nn.Module):
+    in_channels: int
+    out_channels: int
+    num_relations: int
+    num_bases: int = 30
+
+    @nn.compact
+    def __call__(self, x, edge_index, edge_type, num_nodes=None, edge_mask=None):
+        """x: [N, in]; edge_index: [2, E] (src, dst) local ids;
+        edge_type: [E]; edge_mask: [E] bool for padded edge slots."""
+        N = num_nodes or x.shape[0]
+        E = edge_index.shape[1]
+        glorot = nn.initializers.xavier_uniform()
+        basis = self.param("basis", glorot, (self.num_bases, self.in_channels, self.out_channels))
+        comp = self.param("comp", glorot, (self.num_relations, self.num_bases))
+        root = self.param("root", glorot, (self.in_channels, self.out_channels))
+        bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+
+        src, dst = edge_index[0], edge_index[1]
+        if edge_mask is None:
+            edge_mask = jnp.ones((E,), bool)
+
+        # project all nodes through all bases: [N, B, out]
+        xb = jnp.einsum("ni,bio->nbo", x, basis, preferred_element_type=jnp.float32)
+        # per-edge message: contract gathered projections with comp[edge_type]
+        msg = jnp.einsum("ebo,eb->eo", xb[src], comp[edge_type],
+                         preferred_element_type=jnp.float32)
+
+        # mean normalization per (destination, relation): 1 / count
+        seg = dst.astype(jnp.int32) * self.num_relations + edge_type.astype(jnp.int32)
+        seg = jnp.where(edge_mask, seg, N * self.num_relations)  # park padded edges
+        counts = jax.ops.segment_sum(edge_mask.astype(jnp.float32), seg,
+                                     num_segments=N * self.num_relations + 1)
+        norm = jnp.where(edge_mask, 1.0 / jnp.maximum(counts[seg], 1.0), 0.0)
+
+        agg = jax.ops.segment_sum(msg * norm[:, None],
+                                  jnp.where(edge_mask, dst, N),
+                                  num_segments=N + 1)[:N]
+        return agg + x @ root + bias

@@ -36,9 +36,13 @@ def _from_grid_1d(embed_dim: int, pos: np.ndarray) -> np.ndarray:
 
 @functools.lru_cache(maxsize=64)
 def _sincos_2d(embed_dim: int, length: int, patch_size: int) -> np.ndarray:
-    grid_w = patch_size
-    grid_h = length // patch_size
-    assert grid_h * grid_w == length
+    # The reference sets grid_w = patch_size (model.py:136-137), which only
+    # equals the true patch-grid side when image_size = patch_size² (true for
+    # its 256px/16 configuration). We use the intended square grid — identical
+    # at the reference configuration, correct for any square patch grid.
+    grid_w = int(round(length ** 0.5))
+    grid_h = grid_w
+    assert grid_h * grid_w == length, (length, patch_size)
     gw = np.arange(grid_w, dtype=np.float32)
     gh = np.arange(grid_h, dtype=np.float32)
     grid = np.meshgrid(gw, gh, indexing="xy")          # w first, like reference

@@ -6,10 +6,18 @@ the reference has no test suite; this is the rebuild's harness).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the virtual CPU mesh even when the environment pins a TPU backend.
+# The axon sitecustomize imports jax at interpreter startup, so env-var edits
+# here are too late — update the live jax config instead (backends are not
+# initialized yet at conftest-import time).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,100 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mre_tpu.data.fixtures import write_zsl_dataset
+from mre_tpu.data.kg import TripleTable
+from mre_tpu.data.loaders import load_zsl_dataset
+from mre_tpu.data.multimodal import MultimodalPipelineConfig, MultimodalStore
+from mre_tpu.train.fusion import FusionConfig, FusionTrainer
+from mre_tpu.zsl.episodes import EpisodeSampler, SymbolTable, build_connections
+from mre_tpu.zsl.module import ZSLConfig, ZSLModule
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("zsl2"))
+    # n_candidates must exceed 20 or the GAN batcher skips every relation
+    # (reference rule: len(candidates) <= 20 → skip, utils.py:639)
+    write_zsl_dataset(path, n_ent=40, n_rel=8, n_unseen=2, triples_per_rel=25,
+                      image_size=8, n_candidates=22, seed=9)
+    data = load_zsl_dataset(path, mode="train")
+    store = MultimodalStore(
+        data["mm_info"], data["rel_des"],
+        MultimodalPipelineConfig(image_size=16, vocab_size=100,
+                                 tokenizer_max_length=6,
+                                 unpaired_tokenizer_max_length=10))
+    table = TripleTable.build(np.asarray(data["triples"]).T,
+                              len(data["e2id"]), len(data["r2id"]))
+    fusion = FusionTrainer(table, store, FusionConfig(
+        model_type="tiny", emb_dim=12, noise_dim=4, patch_size=8,
+        image_mask_ratio=0.5, text_mask_ratio=0.5,
+        batch_size=4, sample_size=2, neg_ent=2, epochs=1))
+    zsl = ZSLModule(path, data["r2id"], data["e2id"], ZSLConfig(
+        emb_dim=12, noise_dim=4, test_sample=5, max_neighbor=10,
+        pretrain_batch_size=4, pretrain_few=2, pretrain_subepoch=2,
+        D_batch_size=8, G_batch_size=8, gan_batch_rela=2), fusion)
+    return path, data, fusion, zsl
+
+
+def test_symbol_table(setup):
+    _, data, _, zsl = setup
+    st = zsl.symbols
+    assert st.num_symbols == len(data["r2id"]) + len(data["e2id"])
+    # relations come first
+    assert st.symbol2id[list(data["r2id"])[0]] < st.symbol2id[list(data["e2id"])[0]]
+    ent = np.random.default_rng(0).normal(size=(len(data["e2id"]), 12)).astype(np.float32)
+    rel = np.random.default_rng(1).normal(size=(len(data["r2id"]), 12)).astype(np.float32)
+    table = st.build_embedding(ent, rel)
+    assert table.shape == (st.num_symbols + 1, 12)
+    np.testing.assert_array_equal(table[-1], 0.0)   # PAD row
+
+
+def test_connections(setup):
+    _, data, _, zsl = setup
+    conns = np.asarray(zsl.connections)
+    assert conns.shape == (len(data["e2id"]), 10, 2)
+    degs = np.asarray(zsl.degrees)
+    assert degs.max() <= 10 and degs.min() >= 0
+
+
+def test_update_embed_and_pretrain(setup):
+    _, data, fusion, zsl = setup
+    ents = fusion.generate_ent_embeddings(batch_size=16)
+    rels = fusion.generate_rel_embeddings(batch_size=4)
+    zsl.update_embed(ents, rels)
+    assert float(jnp.abs(zsl.symbol_table).sum()) > 0
+    loss = zsl.pretrain_extractor(steps=6, log_every=100)
+    assert np.isfinite(loss)
+
+
+def test_gan_training_and_eval(setup):
+    _, data, fusion, zsl = setup
+    d_hist, g_hist = zsl.train_gan(fusion, train_times=3, log_every=0,
+                                   skip_pretrain=True)
+    assert len(d_hist) == 3 and len(g_hist) == 3
+    for h in d_hist + g_hist:
+        for k, v in h.items():
+            assert np.isfinite(v), (k, v)
+    result = zsl.evaluate(fusion, mode="test", verbose=False, query_chunk=8)
+    assert 0.0 <= result["mrr"] <= 1.0
+    assert 0.0 <= result["hits10"] <= 1.0
+    assert result["n"] > 0
+
+
+def test_distill_model():
+    from mre_tpu.models.distill import make_distill_trainer
+
+    model, params, opt_state, step, predict = make_distill_trainer(
+        emb_dim=8, transformer_emb_dim=16, lr=1e-2)
+    rng = np.random.default_rng(0)
+    token_embs = jnp.asarray(rng.normal(size=(10, 4, 16)).astype(np.float32))
+    teacher = jnp.asarray(rng.normal(size=(10, 8)).astype(np.float32))
+    losses = []
+    for _ in range(60):
+        params, opt_state, loss = step(params, opt_state, token_embs, teacher)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.8
+    pred = predict(params, token_embs)
+    assert pred.shape == (10, 8)
