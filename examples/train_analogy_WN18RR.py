@@ -1,0 +1,7 @@
+"""Recipe 'analogy_WN18RR' — reference-equivalent hyperparameters
+(cf. OpenKE/examples/train_analogy_WN18RR.py)."""
+import sys
+from train_kge import main
+
+if __name__ == "__main__":
+    main(["--recipe", "analogy_WN18RR"] + sys.argv[1:])

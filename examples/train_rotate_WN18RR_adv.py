@@ -1,0 +1,7 @@
+"""Recipe 'rotate_WN18RR_adv' — reference-equivalent hyperparameters
+(cf. OpenKE/examples/train_rotate_WN18RR_adv.py)."""
+import sys
+from train_kge import main
+
+if __name__ == "__main__":
+    main(["--recipe", "rotate_WN18RR_adv"] + sys.argv[1:])
