@@ -76,12 +76,20 @@ class TransformerMLP(nn.Module):
         return nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
 
+def _pallas_attention_available() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover - backend probing
+        return False
+
+
 class Attention(nn.Module):
     dim: int
     num_heads: int = 8
     use_bias: bool = False
     att_drop: float = 0.0
     proj_drop: float = 0.0
+    attention_impl: str = "auto"    # auto | pallas | xla
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True, padding_mask=None):
@@ -94,17 +102,27 @@ class Attention(nn.Module):
         q = q.transpose(0, 2, 1, 3)                # [B, H, N, hd]
         k = k.transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
+        scale = head_dim ** -0.5
 
-        att = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                         preferred_element_type=jnp.float32) * head_dim ** -0.5
-        if padding_mask is not None:
-            pm = padding_mask[:, None, None, :]
-            att = jnp.where(pm > 0, jnp.asarray(-1e7, att.dtype), att)
-        att = jax.nn.softmax(att, axis=-1)
-        att = nn.Dropout(self.att_drop)(att, deterministic=deterministic)
+        # Fused Pallas path: attention-prob dropout can't apply inside the
+        # kernel, so it only serves att_drop == 0 (the reference default).
+        use_pallas = (self.attention_impl == "pallas"
+                      or (self.attention_impl == "auto" and _pallas_attention_available()))
+        if use_pallas and (self.att_drop == 0.0 or deterministic):
+            from mre_tpu.ops.pallas.attention import fused_attention
 
-        out = jnp.einsum("bhqk,bhkd->bhqd", att, v,
-                         preferred_element_type=jnp.float32)
+            out = fused_attention(q, k, v, padding_mask, scale)
+        else:
+            att = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                             preferred_element_type=jnp.float32) * scale
+            if padding_mask is not None:
+                pm = padding_mask[:, None, None, :]
+                att = jnp.where(pm > 0, jnp.asarray(-1e7, att.dtype), att)
+            att = jax.nn.softmax(att, axis=-1)
+            att = nn.Dropout(self.att_drop)(att, deterministic=deterministic)
+            out = jnp.einsum("bhqk,bhkd->bhqd", att, v,
+                             preferred_element_type=jnp.float32)
+
         out = out.transpose(0, 2, 1, 3).reshape(batch, n, channels)
         out = nn.Dense(self.dim, kernel_init=nn.initializers.xavier_uniform())(out)
         return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)

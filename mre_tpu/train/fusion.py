@@ -144,9 +144,12 @@ class FusionTrainer:
     def _init_variables(self):
         edge_index, edge_type, batch = self._dummy_batch()
         noise = jnp.zeros((edge_type.shape[0], self.cfg.noise_dim))
-        return self.model.init(
+        # jit the init: un-jitted flax init executes op-by-op, which is very
+        # slow through a remote-compile TPU tunnel.
+        init = jax.jit(functools.partial(self.model.init, method=self.model.init_all))
+        return init(
             {"params": jax.random.key(self.cfg.seed), "masking": jax.random.key(1)},
-            edge_index, edge_type, batch, noise, method=self.model.init_all)
+            edge_index, edge_type, batch, noise)
 
     # ------------------------------------------------------------------
 
