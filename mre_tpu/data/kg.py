@@ -27,6 +27,28 @@ def _pack(a: np.ndarray, b: np.ndarray, c: np.ndarray, nb: int, nc: int) -> np.n
     return (a.astype(np.int64) * nb + b.astype(np.int64)) * nc + c.astype(np.int64)
 
 
+# Static pad width for tier-1 exact complement sampling; rows with more true
+# candidates resolve against the dense "big row" matrices below.
+EXACT_PAD = 128
+
+
+def _build_big_rows(offsets: np.ndarray, values: np.ndarray, pad: int):
+    """Dense [n_big, pad_big] matrix of (s_i − i) for CSR rows longer than
+    ``pad``, plus a row→slot index (−1 elsewhere). Tiny for real KGs
+    (hundreds of rows), and it makes overflow corruption one masked compare."""
+    sizes = np.diff(offsets)
+    big_rows = np.nonzero(sizes > pad)[0]
+    n_big = len(big_rows)
+    pad_big = int(((sizes.max() + 127) // 128) * 128) if n_big else pad
+    big_index = np.full(len(offsets) - 1, -1, np.int32)
+    big_d = np.full((max(n_big, 1), pad_big), np.iinfo(np.int32).max // 2, np.int32)
+    for slot, row in enumerate(big_rows):
+        big_index[row] = slot
+        vals = values[offsets[row]:offsets[row + 1]].astype(np.int64)
+        big_d[slot, :len(vals)] = (vals - np.arange(len(vals))).astype(np.int32)
+    return big_index, big_d
+
+
 @dataclasses.dataclass(frozen=True)
 class TripleTable:
     """Deduplicated triple store with sorted indexes (host, numpy)."""
@@ -42,6 +64,10 @@ class TripleTable:
     trh_heads: np.ndarray        # [T] int32 heads in trh-sorted order
     left_mean: np.ndarray        # [R] float32 avg #triples per distinct head (bern)
     right_mean: np.ndarray       # [R] float32 avg #triples per distinct tail (bern)
+    hr_big_index: np.ndarray     # [E*R] int32 → slot in hr_big_d, −1 if small
+    hr_big_d: np.ndarray         # [n_big, pad_big] int32 (tails − rank)
+    tr_big_index: np.ndarray
+    tr_big_d: np.ndarray
 
     @classmethod
     def build(cls, triples: np.ndarray, n_entities: int, n_relations: int) -> "TripleTable":
@@ -86,6 +112,10 @@ class TripleTable:
         left_mean = np.where(n_heads > 0, freq / np.maximum(n_heads, 1), 0.0)
         right_mean = np.where(n_tails > 0, freq / np.maximum(n_tails, 1), 0.0)
 
+        hrt_tails = t.astype(np.int32)
+        trh_heads = h[trh_order].astype(np.int32)
+        hr_big_index, hr_big_d = _build_big_rows(hr_offsets, hrt_tails, EXACT_PAD)
+        tr_big_index, tr_big_d = _build_big_rows(tr_offsets, trh_heads, EXACT_PAD)
         return cls(
             n_entities=E,
             n_relations=R,
@@ -94,10 +124,14 @@ class TripleTable:
             trh_keys=trh_sorted,
             hr_offsets=hr_offsets.astype(np.int64),
             tr_offsets=tr_offsets.astype(np.int64),
-            hrt_tails=t.astype(np.int32),
-            trh_heads=h[trh_order].astype(np.int32),
+            hrt_tails=hrt_tails,
+            trh_heads=trh_heads,
             left_mean=left_mean.astype(np.float32),
             right_mean=right_mean.astype(np.float32),
+            hr_big_index=hr_big_index,
+            hr_big_d=hr_big_d,
+            tr_big_index=tr_big_index,
+            tr_big_d=tr_big_d,
         )
 
     # --- host-side queries (used by tests and CPU fallbacks) -------------
@@ -140,6 +174,10 @@ class DeviceKG:
     trh_heads: jnp.ndarray
     left_mean: jnp.ndarray
     right_mean: jnp.ndarray
+    hr_big_index: jnp.ndarray
+    hr_big_d: jnp.ndarray
+    tr_big_index: jnp.ndarray
+    tr_big_d: jnp.ndarray
 
     @classmethod
     def from_table(cls, t: TripleTable) -> "DeviceKG":
@@ -153,12 +191,17 @@ class DeviceKG:
             trh_heads=jnp.asarray(t.trh_heads),
             left_mean=jnp.asarray(t.left_mean),
             right_mean=jnp.asarray(t.right_mean),
+            hr_big_index=jnp.asarray(t.hr_big_index),
+            hr_big_d=jnp.asarray(t.hr_big_d),
+            tr_big_index=jnp.asarray(t.tr_big_index),
+            tr_big_d=jnp.asarray(t.tr_big_d),
         )
 
 
 def _kg_flatten(kg: DeviceKG):
     children = (kg.triples, kg.hr_offsets, kg.tr_offsets,
-                kg.hrt_tails, kg.trh_heads, kg.left_mean, kg.right_mean)
+                kg.hrt_tails, kg.trh_heads, kg.left_mean, kg.right_mean,
+                kg.hr_big_index, kg.hr_big_d, kg.tr_big_index, kg.tr_big_d)
     aux = (kg.n_entities, kg.n_relations)
     return children, aux
 

@@ -42,6 +42,7 @@ def m3ae_config(model_type: str = "small", updates: dict | None = None) -> Confi
         use_type_embedding=True,
         image_mask_ratio=0.75,
         text_mask_ratio=0.75,
+        compute_dtype="float32",    # "bfloat16" runs matmuls on the MXU in bf16
     ))
     cfg.update(transformer_preset(model_type))
     if updates:
@@ -79,14 +80,15 @@ class M3AE(nn.Module):
             "image_mask_embedding", emb_init, (1, 1, cfg.dec_emb_dim))
         self.text_mask_embedding = self.param(
             "text_mask_embedding", emb_init, (1, 1, cfg.dec_emb_dim))
+        dtype = jnp.dtype(cfg.get("compute_dtype", "float32"))
         self.encoder = Transformer(
             emb_dim=cfg.emb_dim, depth=cfg.depth, att_drop=cfg.att_drop,
             drop=cfg.drop, drop_path=cfg.drop_path, num_heads=cfg.num_heads,
-            mlp_ratio=cfg.mlp_ratio, name="encoder")
+            mlp_ratio=cfg.mlp_ratio, dtype=dtype, name="encoder")
         self.decoder = Transformer(
             emb_dim=cfg.dec_emb_dim, depth=cfg.dec_depth, att_drop=cfg.att_drop,
             drop=cfg.drop, drop_path=cfg.drop_path, num_heads=cfg.dec_num_heads,
-            mlp_ratio=cfg.mlp_ratio, name="decoder")
+            mlp_ratio=cfg.mlp_ratio, dtype=dtype, name="decoder")
         self.decoder_input_projection = nn.Dense(
             cfg.dec_emb_dim, kernel_init=nn.initializers.xavier_uniform(),
             name="decoder_input_projection")

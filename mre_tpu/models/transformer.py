@@ -64,14 +64,15 @@ class TransformerMLP(nn.Module):
     dim: int = 256
     out_dim: int = 256
     dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = nn.Dense(4 * self.dim, name="fc1",
+        x = nn.Dense(4 * self.dim, name="fc1", dtype=self.dtype,
                      kernel_init=nn.initializers.xavier_uniform())(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        x = nn.Dense(self.out_dim, name="fc2",
+        x = nn.Dense(self.out_dim, name="fc2", dtype=self.dtype,
                      kernel_init=nn.initializers.xavier_uniform())(x)
         return nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
@@ -90,12 +91,13 @@ class Attention(nn.Module):
     att_drop: float = 0.0
     proj_drop: float = 0.0
     attention_impl: str = "auto"    # auto | pallas | xla
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True, padding_mask=None):
         batch, n, channels = x.shape
         head_dim = self.dim // self.num_heads
-        qkv = nn.Dense(self.dim * 3, use_bias=self.use_bias,
+        qkv = nn.Dense(self.dim * 3, use_bias=self.use_bias, dtype=self.dtype,
                        kernel_init=nn.initializers.xavier_uniform())(x)
         qkv = qkv.reshape(batch, n, 3, self.num_heads, head_dim)
         q, k, v = jnp.moveaxis(qkv, 2, 0)          # each [B, N, H, hd]
@@ -124,7 +126,8 @@ class Attention(nn.Module):
                              preferred_element_type=jnp.float32)
 
         out = out.transpose(0, 2, 1, 3).reshape(batch, n, channels)
-        out = nn.Dense(self.dim, kernel_init=nn.initializers.xavier_uniform())(out)
+        out = nn.Dense(self.dim, dtype=self.dtype,
+                       kernel_init=nn.initializers.xavier_uniform())(out)
         return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
 
 
@@ -135,16 +138,19 @@ class Block(nn.Module):
     att_drop: float = 0.0
     drop: float = 0.0
     drop_path: float = 0.0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, inputs, deterministic: bool = True, padding_mask=None):
+        # LayerNorms stay float32; matmul-heavy submodules run in `dtype`.
         x = nn.LayerNorm()(inputs)
         x = Attention(self.emb_dim, self.num_heads, True, self.att_drop,
-                      self.drop)(x, deterministic, padding_mask)
+                      self.drop, dtype=self.dtype)(x, deterministic, padding_mask)
         x = DropPath(self.drop_path)(x, deterministic)
         inputs = inputs + x
         x = nn.LayerNorm()(inputs)
-        x = TransformerMLP(self.emb_dim, self.emb_dim, self.drop)(x, deterministic)
+        x = TransformerMLP(self.emb_dim, self.emb_dim, self.drop,
+                           dtype=self.dtype)(x, deterministic)
         x = DropPath(self.drop_path)(x, deterministic)
         return inputs + x
 
@@ -157,13 +163,14 @@ class Transformer(nn.Module):
     drop_path: float = 0.0
     num_heads: int = 16
     mlp_ratio: int = 4
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True, padding_mask=None):
         for _ in range(self.depth):
             x = Block(self.emb_dim, self.num_heads, self.mlp_ratio,
-                      self.att_drop, self.drop, self.drop_path)(
-                x, deterministic, padding_mask)
+                      self.att_drop, self.drop, self.drop_path,
+                      dtype=self.dtype)(x, deterministic, padding_mask)
         return nn.LayerNorm()(x)
 
 

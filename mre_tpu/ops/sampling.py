@@ -8,13 +8,15 @@ batched, and host-loop-free:
 * **Exact complement sampling** — the ``corrupt_head``/``corrupt_tail``
   index-shift algorithm of OpenKE base/Corrupt.h:7-83 ("draw u uniform over
   entityTotal − |true set|, then shift u past the sorted true set") is
-  vectorized: the per-(e, r) true sets are CSR ranges of the sorted triple
-  index (data/kg.py), the shift ``u → u + #{s_i − i ≤ u}`` is one masked
-  compare-and-sum over a padded gather of the range.
-* **Rejection fallback** — rows whose true set exceeds the static pad width
-  fall back to vectorized rejection sampling with membership tested by a
-  fixed-iteration per-row binary search (the base/Corrupt.h:166-177 ``_find``,
-  vectorized; int32 throughout — no 64-bit keys needed on device).
+  vectorized and rejection-free in two tiers: one padded gather of the CSR
+  true-set slice for normal rows, and a top_k-compacted masked compare
+  against a dense precomputed (value − rank) matrix for the rare oversized
+  rows (see ``_complement_draw``). No sequential binary searches on the
+  sampling path — TPU random gathers are latency-bound, so parallel depth,
+  not FLOPs, sets the speed here.
+* **Membership tests** (subgraph-local corruption, eval filters) use a
+  fixed-iteration per-row binary search (the base/Corrupt.h:166-177
+  ``_find``, vectorized; int32 throughout — no 64-bit keys on device).
 * **Bernoulli head/tail choice** — per-relation left/right means
   (base/Reader.h:141-158, Base.cpp:112-115) drive the corruption side.
 """
@@ -28,21 +30,23 @@ import jax
 import jax.numpy as jnp
 
 from mre_tpu.data.kg import DeviceKG
+from mre_tpu.data.kg import EXACT_PAD as KG_EXACT_PAD
 
-# Static pad width for exact complement sampling; rows with more true
-# candidates than this use the rejection path. 128 covers the vast majority
-# of (entity, relation) pairs on FB15K-237-scale graphs.
-EXACT_PAD = 128
+# Tier-1 pad width for exact complement sampling (must not go below the
+# threshold the DeviceKG big-row tables were built with).
+EXACT_PAD = KG_EXACT_PAD
 REJECTION_ROUNDS = 12
 
 
 def _row_lower_bound(values: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
-                     target: jnp.ndarray, n_iters: int = 32) -> jnp.ndarray:
+                     target: jnp.ndarray, n_iters: int | None = None) -> jnp.ndarray:
     """Vectorized lower_bound of ``target`` within each CSR slice [lo, hi).
 
     Fixed-iteration binary search (int32 throughout — no 64-bit keys needed
-    on device); 32 iterations cover any slice length < 2³¹.
+    on device); iteration count derives from the (static) array length.
     """
+    if n_iters is None:
+        n_iters = max(int(values.shape[0]).bit_length(), 1)
 
     def body(_, carry):
         lo, hi = carry
@@ -74,67 +78,51 @@ def _contains(kg: DeviceKG, h: jnp.ndarray, r: jnp.ndarray, t: jnp.ndarray) -> j
 
 
 def _complement_draw(key: jax.Array, values: jnp.ndarray, offsets: jnp.ndarray,
-                     rows: jnp.ndarray, n_total: int, pad: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+                     big_index: jnp.ndarray, big_d: jnp.ndarray,
+                     rows: jnp.ndarray, n_total: int, pad: int,
+                     overflow_slots: int | None = None) -> jnp.ndarray:
     """Draw one uniform sample per row from {0..n_total-1} \\ true_set(row).
 
-    ``values`` is the CSR value array (sorted within each row), ``offsets``
-    the row offsets, ``rows`` the [B] row ids. Returns (sample, exact_ok)
-    where exact_ok is False for rows whose set size exceeds ``pad``.
+    Exact, rejection-free, two tiers:
+    * tier 1 — rows with ≤ ``pad`` true values: one padded gather of the CSR
+      slice, shift u past it (base/Corrupt.h:7-44 vectorized);
+    * tier 2 — the rare overflow draws (rows bigger than pad) are compacted
+      via ``top_k`` into ``overflow_slots`` lanes and resolved against the
+      dense precomputed (value − rank) matrix ``big_d`` — one masked compare,
+      no sequential binary searches (TPU random gathers are latency-bound).
     """
+    pad = max(pad, KG_EXACT_PAD)   # big-row tables cover cnt > KG_EXACT_PAD
+    B = rows.shape[0]
     start = offsets[rows]                      # [B]
     cnt = (offsets[rows + 1] - start).astype(jnp.int32)  # [B]
+    u = jax.random.randint(key, rows.shape, 0, jnp.maximum(n_total - cnt, 1))
+
     lane = jnp.arange(pad, dtype=jnp.int32)    # [pad]
-    gidx = start[:, None] + lane[None, :]      # [B, pad]
-    gidx = jnp.minimum(gidx, values.shape[0] - 1)
+    gidx = jnp.minimum(start[:, None] + lane[None, :], values.shape[0] - 1)
     vals = values[gidx].astype(jnp.int32)      # [B, pad]
     valid = lane[None, :] < jnp.minimum(cnt, pad)[:, None]
     # d_i = s_i - i; the u-th allowed value is u + #{i : d_i <= u}.
     d = jnp.where(valid, vals - lane[None, :], n_total + 1)
-    u = jax.random.randint(key, rows.shape, 0, jnp.maximum(n_total - cnt, 1))
-    sample = u + jnp.sum(d <= u[:, None], axis=-1).astype(u.dtype)
-    return sample.astype(jnp.int32), cnt <= pad
+    sample = (u + jnp.sum(d <= u[:, None], axis=-1).astype(u.dtype)).astype(jnp.int32)
+
+    return _resolve_overflow(sample, u, rows, cnt > pad, big_index, big_d,
+                             overflow_slots)
 
 
 def corrupt_tails(key: jax.Array, kg: DeviceKG, h: jnp.ndarray, r: jnp.ndarray,
                   pad: int = EXACT_PAD) -> jnp.ndarray:
     """One filtered corrupted tail per (h, r) — never a true tail."""
-    k_exact, k_rej = jax.random.split(key)
     rows = h.astype(jnp.int32) * kg.n_relations + r.astype(jnp.int32)
-    exact, ok = _complement_draw(k_exact, kg.hrt_tails, kg.hr_offsets, rows, kg.n_entities, pad)
-    rej = _rejection(k_rej, kg, h, r, corrupt_side="tail")
-    return jnp.where(ok, exact, rej)
+    return _complement_draw(key, kg.hrt_tails, kg.hr_offsets,
+                            kg.hr_big_index, kg.hr_big_d, rows, kg.n_entities, pad)
 
 
 def corrupt_heads(key: jax.Array, kg: DeviceKG, t: jnp.ndarray, r: jnp.ndarray,
                   pad: int = EXACT_PAD) -> jnp.ndarray:
     """One filtered corrupted head per (t, r) — never a true head."""
-    k_exact, k_rej = jax.random.split(key)
     rows = t.astype(jnp.int32) * kg.n_relations + r.astype(jnp.int32)
-    exact, ok = _complement_draw(k_exact, kg.trh_heads, kg.tr_offsets, rows, kg.n_entities, pad)
-    rej = _rejection(k_rej, kg, t, r, corrupt_side="head")
-    return jnp.where(ok, exact, rej)
-
-
-def _rejection(key: jax.Array, kg: DeviceKG, anchor: jnp.ndarray, r: jnp.ndarray,
-               corrupt_side: str, rounds: int = REJECTION_ROUNDS) -> jnp.ndarray:
-    """Vectorized rejection sampling with exact membership filtering."""
-
-    def body(carry, k):
-        cur, done = carry
-        cand = jax.random.randint(k, anchor.shape, 0, kg.n_entities, dtype=jnp.int32)
-        if corrupt_side == "tail":
-            bad = _contains(kg, anchor, r, cand)
-        else:
-            bad = _contains(kg, cand, r, anchor)
-        take = jnp.logical_and(~done, ~bad)
-        cur = jnp.where(take, cand, cur)
-        done = jnp.logical_or(done, take)
-        return (cur, done), None
-
-    keys = jax.random.split(key, rounds)
-    init = (jnp.zeros(anchor.shape, jnp.int32), jnp.zeros(anchor.shape, bool))
-    (out, _), _ = jax.lax.scan(body, init, keys)
-    return out
+    return _complement_draw(key, kg.trh_heads, kg.tr_offsets,
+                            kg.tr_big_index, kg.tr_big_d, rows, kg.n_entities, pad)
 
 
 class NegativeBatch(NamedTuple):
@@ -151,6 +139,48 @@ class NegativeBatch(NamedTuple):
     neg_t: jnp.ndarray
 
 
+def _gather_row_d(values, offsets, rows, n_total, pad):
+    """Padded (value − rank) slice per row: [B, pad] + cnt [B]."""
+    start = offsets[rows]
+    cnt = (offsets[rows + 1] - start).astype(jnp.int32)
+    lane = jnp.arange(pad, dtype=jnp.int32)
+    gidx = jnp.minimum(start[:, None] + lane[None, :], values.shape[0] - 1)
+    vals = values[gidx].astype(jnp.int32)
+    valid = lane[None, :] < jnp.minimum(cnt, pad)[:, None]
+    d = jnp.where(valid, vals - lane[None, :], n_total + 1)
+    return d, cnt
+
+
+def _resolve_overflow(sample, u, rows, overflow, big_index, big_d,
+                      overflow_slots: int | None = None):
+    """Tier-2: fix the draws whose row exceeds the pad, via a top_k
+    compaction against the dense big-row matrix.
+
+    ``overflow_slots`` bounds the compaction width. Default: full coverage
+    for batches ≤ 8192 draws (exactness guaranteed), else max(1024, n/16)
+    slots — overflow draws are bounded by #big-row hits, which is orders of
+    magnitude below n/16 on real KGs; any draw past the cap keeps its
+    tier-1 value (filtered against the first ``pad`` true candidates only).
+    """
+    if big_d.shape[0] == 0:
+        return sample
+    flat = sample.reshape(-1)
+    n = flat.shape[0]
+    if overflow_slots is None:
+        overflow_slots = n if n <= 8192 else max(1024, n // 16)
+    u_f = u.reshape(-1)
+    rows_f = rows.reshape(-1)
+    over_f = overflow.reshape(-1)
+    k = min(overflow_slots, n)
+    _, idx = jax.lax.top_k(over_f.astype(jnp.float32), k)
+    slot = jnp.maximum(big_index[rows_f[idx]], 0)
+    d_o = big_d[slot]
+    j = jnp.sum(d_o <= u_f[idx][:, None], axis=-1).astype(jnp.int32)
+    resolved = (u_f[idx] + j).astype(jnp.int32)
+    flat = flat.at[idx].set(jnp.where(over_f[idx], resolved, flat[idx]))
+    return flat.reshape(sample.shape)
+
+
 @functools.partial(jax.jit, static_argnames=("n_neg", "bern", "pad"))
 def corrupt_batch(key: jax.Array, kg: DeviceKG, h: jnp.ndarray, r: jnp.ndarray,
                   t: jnp.ndarray, n_neg: int, bern: bool = False,
@@ -159,9 +189,14 @@ def corrupt_batch(key: jax.Array, kg: DeviceKG, h: jnp.ndarray, r: jnp.ndarray,
 
     Head-vs-tail choice is uniform (prob 0.5) or Bernoulli-weighted by
     relation statistics when ``bern`` (Base.cpp:112-115 semantics).
+
+    Gathers each positive's CSR slice ONCE and broadcasts the complement
+    shift across all its negatives — the gather (the latency-bound op on
+    TPU) is O(B·pad), not O(B·n_neg·pad).
     """
+    pad = max(pad, KG_EXACT_PAD)
     B = h.shape[0]
-    k_side, k_head, k_tail = jax.random.split(key, 3)
+    k_side, k_u = jax.random.split(key)
     if bern:
         # Base.cpp:112-115 — replace the tail with prob right/(left+right).
         lm, rm = kg.left_mean[r], kg.right_mean[r]
@@ -170,14 +205,30 @@ def corrupt_batch(key: jax.Array, kg: DeviceKG, h: jnp.ndarray, r: jnp.ndarray,
         p_replace_tail = jnp.full((B,), 0.5, jnp.float32)
     side = jax.random.uniform(k_side, (B, n_neg)) < p_replace_tail[:, None]  # True → replace tail
 
-    hh = jnp.repeat(h[:, None], n_neg, 1).reshape(-1)
-    rr = jnp.repeat(r[:, None], n_neg, 1).reshape(-1)
-    tt = jnp.repeat(t[:, None], n_neg, 1).reshape(-1)
-    new_tails = corrupt_tails(k_tail, kg, hh, rr, pad).reshape(B, n_neg)
-    new_heads = corrupt_heads(k_head, kg, tt, rr, pad).reshape(B, n_neg)
+    rows_t = h.astype(jnp.int32) * kg.n_relations + r.astype(jnp.int32)
+    rows_h = t.astype(jnp.int32) * kg.n_relations + r.astype(jnp.int32)
+    d_t, cnt_t = _gather_row_d(kg.hrt_tails, kg.hr_offsets, rows_t, kg.n_entities, pad)
+    d_h, cnt_h = _gather_row_d(kg.trh_heads, kg.tr_offsets, rows_h, kg.n_entities, pad)
 
-    neg_t = jnp.where(side, new_tails, t[:, None])
-    neg_h = jnp.where(side, h[:, None], new_heads)
+    cnt = jnp.where(side, cnt_t[:, None], cnt_h[:, None])           # [B, n_neg]
+    u = jax.random.randint(k_u, (B, n_neg), 0,
+                           jnp.maximum(kg.n_entities - cnt, 1))
+    j_t = jnp.sum(d_t[:, None, :] <= u[:, :, None], axis=-1)
+    j_h = jnp.sum(d_h[:, None, :] <= u[:, :, None], axis=-1)
+    sample = (u + jnp.where(side, j_t, j_h)).astype(jnp.int32)
+
+    # tier-2 overflow resolution, per side
+    over_t = jnp.logical_and(side, (cnt_t > pad)[:, None])
+    over_h = jnp.logical_and(~side, (cnt_h > pad)[:, None])
+    rows_t_b = jnp.broadcast_to(rows_t[:, None], (B, n_neg))
+    rows_h_b = jnp.broadcast_to(rows_h[:, None], (B, n_neg))
+    sample = _resolve_overflow(sample, u, rows_t_b, over_t,
+                               kg.hr_big_index, kg.hr_big_d)
+    sample = _resolve_overflow(sample, u, rows_h_b, over_h,
+                               kg.tr_big_index, kg.tr_big_d)
+
+    neg_t = jnp.where(side, sample, t[:, None])
+    neg_h = jnp.where(side, h[:, None], sample)
     return NegativeBatch(h=h, r=r, t=t, neg_h=neg_h, neg_t=neg_t)
 
 

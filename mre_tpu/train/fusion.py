@@ -326,6 +326,38 @@ class FusionTrainer:
                 jnp.asarray(self.store.rel_mask[ids_p])))[:len(ids)])
         return jnp.asarray(np.concatenate(out))
 
+    # -- DistillModel path: unseen relation embeddings (utils.py:529-546,
+    # rel_type='unseen'; module/DistillModel.py) ---------------------------
+
+    def train_distill(self, teacher_rel_embs: jnp.ndarray, steps: int = 2000,
+                      lr: float = 1e-4, batch_size: int = 32, seed: int = 0):
+        """Distill description→embedding into a small MLP over the frozen
+        learned text embeddings; returns (predict_fn, params)."""
+        from mre_tpu.models.distill import embed_tokens, make_distill_trainer
+
+        m3ae_params = self.params["M3AEmodel"]
+        token_embs = embed_tokens(m3ae_params, jnp.asarray(self.store.rel_ids))
+        teacher = jnp.asarray(teacher_rel_embs)
+        n = token_embs.shape[0]
+        _, params, opt_state, step, predict = make_distill_trainer(
+            emb_dim=self.cfg.emb_dim,
+            transformer_emb_dim=token_embs.shape[-1], lr=lr, seed=seed)
+        rng = np.random.default_rng(seed)
+        for _ in range(steps):
+            idx = rng.integers(0, n, batch_size)
+            params, opt_state, _ = step(params, opt_state, token_embs[idx], teacher[idx])
+
+        def predict_unseen(rel_ids):
+            te = embed_tokens(m3ae_params, jnp.asarray(self.store.rel_ids[np.asarray(rel_ids)]))
+            return predict(params, te)
+
+        return predict_unseen, params
+
+    def generate_rel_embeddings_unseen(self, predict_unseen) -> jnp.ndarray:
+        """All-relation embeddings through the distilled predictor
+        (generate_rel_embed(..., rel_type='unseen'))."""
+        return predict_unseen(np.arange(self.table.n_relations))
+
     def generate(self, rel_ids: np.ndarray, noise: jnp.ndarray) -> jnp.ndarray:
         """Generator head: relation descriptions ⊕ noise → embeddings."""
         return self.model.apply(

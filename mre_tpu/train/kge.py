@@ -123,15 +123,31 @@ class KGETrainer:
                 value = value + cfg.l3_regul_rate * kge_models.distmult_l3_regularization(params)
             return value
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(params, opt_state, rng):
-            rng, sub = jax.random.split(rng)
+        def one_step(carry, sub):
+            params, opt_state = carry
             batch = sampling.sample_training_batch(sub, kg, cfg.batch_size, cfg.neg_ent, cfg.bern)
             value, grads = jax.value_and_grad(loss)(params, batch)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
+            return (params, opt_state), value
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(params, opt_state, rng):
+            rng, sub = jax.random.split(rng)
+            (params, opt_state), value = one_step((params, opt_state), sub)
             return params, opt_state, rng, value
 
+        # Whole-epoch program: lax.scan over nbatches sampled steps — one
+        # device dispatch per epoch instead of per step (the per-step host
+        # round-trip dominates on remote-attached TPUs).
+        @functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=("n_steps",))
+        def train_epoch(params, opt_state, rng, n_steps):
+            rng, sub = jax.random.split(rng)
+            subs = jax.random.split(sub, n_steps)
+            (params, opt_state), values = jax.lax.scan(one_step, (params, opt_state), subs)
+            return params, opt_state, rng, jnp.sum(values)
+
+        self._epoch_fn = train_epoch
         return train_step
 
     def run(self, log_every: int = 50, logger: MetricLogger | None = None,
@@ -140,15 +156,12 @@ class KGETrainer:
         roll = RollingMean(cfg.nbatches)
         last = 0.0
         for epoch in range(cfg.train_times):
-            epoch_loss = 0.0
-            for _ in range(cfg.nbatches):
-                self.params, self.opt_state, self._rng, value = self._step(
-                    self.params, self.opt_state, self._rng)
-                epoch_loss += float(value)
-            last = epoch_loss
-            roll.add(epoch_loss)
+            self.params, self.opt_state, self._rng, epoch_loss = self._epoch_fn(
+                self.params, self.opt_state, self._rng, n_steps=cfg.nbatches)
+            last = float(epoch_loss)
+            roll.add(last)
             if logger and (epoch % log_every == 0 or epoch == cfg.train_times - 1):
-                logger.log({"epoch": epoch, "loss": epoch_loss}, step=epoch)
+                logger.log({"epoch": epoch, "loss": last}, step=epoch)
             if save_steps and checkpoint_dir and (epoch + 1) % save_steps == 0:
                 ckpt.save_checkpoint(f"{checkpoint_dir}/{cfg.model}-{epoch}.ckpt", self.params)
         return last

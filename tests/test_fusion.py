@@ -74,3 +74,11 @@ def test_generator_head(trainer):
     # different noise → different outputs (generator is conditional on noise)
     out2 = trainer.generate(np.asarray([0, 1, 2]), noise + 1.0)
     assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_distill_path(trainer):
+    teacher = trainer.generate_rel_embeddings(batch_size=4)
+    predict_unseen, params = trainer.train_distill(teacher, steps=30, batch_size=4)
+    out = trainer.generate_rel_embeddings_unseen(predict_unseen)
+    assert out.shape == teacher.shape
+    assert np.isfinite(np.asarray(out)).all()
