@@ -71,6 +71,8 @@ def read_options(argv=None):
     parser.add_argument("--pretrained_m3ae", default="", type=str,
                         help="path to a flax m3ae checkpoint pickle (CC12M)")
     parser.add_argument("--output_dir", default="./runs", type=str)
+    parser.add_argument("--profile_dir", default="", type=str,
+                        help="capture a jax.profiler trace of the first epoch")
 
     args = parser.parse_args(argv)
     args.save_path = f"{args.data_root}/{args.dataset}/Embed_used"

@@ -107,7 +107,13 @@ def main(args):
     ckpt_dir = f"./saved_models/{args.dataset}"
     print("Start Fusion Training!")
     for epoch in range(args.start_epoch, args.epochs):
-        info = fusion.train_epoch()
+        if args.profile_dir and epoch == args.start_epoch:
+            from mre_tpu.core.profiling import trace
+
+            with trace(args.profile_dir):
+                info = fusion.train_epoch()
+        else:
+            info = fusion.train_epoch()
         print(f"epoch{epoch + 1} loss is {info['loss']:.4f}!")
         logger.log({"epoch": epoch + 1, **info}, step=epoch)
         if (epoch + 1) % args.save_epochs == 0:

@@ -149,6 +149,34 @@ def type_constraints(triples: np.ndarray, n_relations: int):
     return head_type, tail_type, categories
 
 
+def id_txt_to_json(txt_path: str, json_path: str | None = None) -> dict:
+    """Convert an OpenKE ``*2id.txt`` map to the ``*2ids.json`` schema
+    (utils/switch_txt_json.py)."""
+    out = {}
+    with open(txt_path) as f:
+        for line in f.readlines()[1:]:
+            name, idx = line.split()
+            out[name] = int(idx)
+    if json_path:
+        with open(json_path, "w") as f:
+            json.dump(out, f)
+    return out
+
+
+def ids_to_names(result_rows: list, ent2id: dict, rel2id: dict) -> list:
+    """Map (h, r, t) id rows back to names (utils/gen_result.py semantics —
+    id→name result rewriting)."""
+    id2ent = {v: k for k, v in ent2id.items()}
+    id2rel = {v: k for k, v in rel2id.items()}
+    return [[id2ent[h], id2rel[r], id2ent[t]] for h, r, t in result_rows]
+
+
+def read_clean_lines(path: str) -> list:
+    """Strip-newline file reader (utils/assist.py)."""
+    with open(path) as f:
+        return [line.rstrip("\n") for line in f]
+
+
 def write_type_constrain_file(path: str, head_type: dict, tail_type: dict):
     with open(path, "w") as f:
         f.write(f"{len(head_type)}\n")

@@ -165,6 +165,14 @@ class TrainDataLoader:
         t = np.concatenate([np.asarray(nb.t)] + [np.asarray(nb.neg_t[:, k]) for k in range(n)])
         r = np.tile(np.asarray(nb.r), 1 + n)
         y = np.concatenate([np.ones(B, np.float32), -np.ones(B * n, np.float32)])
+        if self.neg_rel:
+            self._key, sub2 = jax.random.split(self._key)
+            neg_r = np.asarray(sampling.corrupt_relations(
+                sub2, self.kg, jax.numpy.asarray(np.asarray(nb.r)), self.neg_rel))
+            h = np.concatenate([h] + [np.asarray(nb.h)] * self.neg_rel)
+            t = np.concatenate([t] + [np.asarray(nb.t)] * self.neg_rel)
+            r = np.concatenate([r] + [neg_r[:, k] for k in range(self.neg_rel)])
+            y = np.concatenate([y, -np.ones(B * self.neg_rel, np.float32)])
         return {"batch_h": h.astype(np.int64), "batch_t": t.astype(np.int64),
                 "batch_r": r.astype(np.int64), "batch_y": y, "mode": mode_name}
 

@@ -246,6 +246,16 @@ def sample_training_batch(key: jax.Array, kg: DeviceKG, batch_size: int, n_neg: 
     return corrupt_batch(k_corrupt, kg, tri[:, 0], tri[:, 1], tri[:, 2], n_neg, bern, pad)
 
 
+def corrupt_relations(key: jax.Array, kg: DeviceKG, r: jnp.ndarray,
+                      n_neg: int = 1) -> jnp.ndarray:
+    """Uniform corrupted relations excluding the true r (the unfiltered
+    branch of base/Corrupt.h:86-94; the probability-weighted and
+    (h,t)-filtered variants are provided by the native sampler). [B, n_neg]."""
+    B = r.shape[0]
+    v = jax.random.randint(key, (B, n_neg), 0, kg.n_relations - 1, dtype=jnp.int32)
+    return jnp.where(v < r[:, None], v, v + 1)
+
+
 def corrupt_within_nodes(key: jax.Array, kg: DeviceKG, n_id: jnp.ndarray,
                          h_local: jnp.ndarray, r: jnp.ndarray, t_local: jnp.ndarray,
                          n_neg: int, rounds: int = REJECTION_ROUNDS) -> tuple[jnp.ndarray, jnp.ndarray]:

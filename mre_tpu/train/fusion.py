@@ -90,6 +90,7 @@ class FusionTrainer:
         self.table = table
         self.store = store
         self.cfg = cfg
+        self.mesh = mesh
         self.kg = DeviceKG.from_table(table)
 
         self.model = UnifiedModel(
@@ -250,7 +251,29 @@ class FusionTrainer:
         if "image" in mm:
             patches = np.asarray(extract_patches(jnp.asarray(mm["image"]), cfg.patch_size))
             device_batch["image_patches"] = jnp.asarray(patches)
+        if self.mesh is not None and self.mesh.size > 1:
+            device_batch = self._shard_batch(device_batch)
         return device_batch
+
+    def _shard_batch(self, device_batch: dict) -> dict:
+        """Shard batch leading axes over the mesh's data axis (node axis for
+        per-node arrays, edge axis for per-edge arrays); XLA inserts the
+        collectives for the cross-shard segment sums."""
+        import jax as _jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from mre_tpu.parallel import mesh as pmesh
+
+        n = self.mesh.shape[pmesh.DATA_AXIS]
+        out = {}
+        for k, v in device_batch.items():
+            if k == "edge_index" and v.shape[1] % n == 0:
+                out[k] = _jax.device_put(v, NamedSharding(self.mesh, P(None, pmesh.DATA_AXIS)))
+            elif v.ndim >= 1 and v.shape[0] % n == 0:
+                out[k] = _jax.device_put(v, NamedSharding(self.mesh, P(pmesh.DATA_AXIS)))
+            else:
+                out[k] = _jax.device_put(v, NamedSharding(self.mesh, P()))
+        return out
 
     def train_step(self, graph_batch: dict) -> dict:
         device_batch = self.prepare_device_batch(graph_batch)
@@ -258,14 +281,36 @@ class FusionTrainer:
             self.params, self.spectral, self.opt_state, self._rng, device_batch)
         return {k: float(v) for k, v in info.items()}
 
-    def train_epoch(self) -> dict:
+    def train_epoch(self, prefetch: int = 2) -> dict:
+        """One epoch with a host-side prefetch thread: image decode + batch
+        assembly overlaps the device step (the reference's dataloader workers,
+        main.py:93-99, minus the process boundary)."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=max(prefetch, 1))
+        stop = object()
+
+        def producer():
+            for graph_batch in self.sampler:
+                q.put(self.prepare_device_batch(graph_batch))
+            q.put(stop)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+
         agg: dict[str, float] = {}
         n = 0
-        for graph_batch in self.sampler:
-            info = self.train_step(graph_batch)
+        while True:
+            device_batch = q.get()
+            if device_batch is stop:
+                break
+            self.params, self.spectral, self.opt_state, self._rng, info = self._step_fn(
+                self.params, self.spectral, self.opt_state, self._rng, device_batch)
             for k, v in info.items():
-                agg[k] = agg.get(k, 0.0) + v
+                agg[k] = agg.get(k, 0.0) + float(v)
             n += 1
+        thread.join()
         return {k: v / max(n, 1) for k, v in agg.items()}
 
     # -- full-graph embedding generation (module/utils.py:479-546) --------

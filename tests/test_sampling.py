@@ -84,3 +84,14 @@ def test_corrupt_within_nodes(tiny_kg, dkg):
     same = (neg_h == tri[:, 0][:, None]) & (neg_t == tri[:, 2][:, None])
     is_true = tiny_kg.contains(neg_h.ravel(), rr.ravel(), neg_t.ravel()).reshape(neg_h.shape)
     assert np.logical_or(~is_true, same).all()
+
+
+def test_corrupt_relations_excludes_true(tiny_kg, dkg):
+    import jax
+    import jax.numpy as jnp
+
+    r = jnp.asarray(tiny_kg.triples[:50, 1])
+    neg = np.asarray(sampling.corrupt_relations(jax.random.key(0), dkg, r, n_neg=8))
+    assert neg.shape == (50, 8)
+    assert (neg >= 0).all() and (neg < tiny_kg.n_relations).all()
+    assert not (neg == np.asarray(r)[:, None]).any()

@@ -46,3 +46,16 @@ def test_kge_step_sharded_batch():
     opt_state = jax.device_put(trainer.opt_state, NamedSharding(mesh, P()))
     out = trainer._step(params, opt_state, trainer._rng)
     assert np.isfinite(float(out[-1]))
+
+
+def test_fusion_trainer_with_mesh():
+    """FusionTrainer with an 8-device mesh shards batches and trains."""
+    import numpy as np
+
+    import __graft_entry__ as ge
+    from mre_tpu.parallel import mesh as pmesh
+
+    trainer = ge._tiny_setup()
+    trainer.mesh = pmesh.make_mesh(n_data=8)
+    info = trainer.train_step(next(iter(trainer.sampler)))
+    assert np.isfinite(info["loss"])
