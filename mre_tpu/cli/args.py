@@ -73,6 +73,8 @@ def read_options(argv=None):
     parser.add_argument("--output_dir", default="./runs", type=str)
     parser.add_argument("--profile_dir", default="", type=str,
                         help="capture a jax.profiler trace of the first epoch")
+    parser.add_argument("--resume", action="store_true",
+                        help="auto-resume from the latest checkpoint in saved_models/<dataset>")
 
     args = parser.parse_args(argv)
     args.save_path = f"{args.data_root}/{args.dataset}/Embed_used"

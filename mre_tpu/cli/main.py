@@ -67,6 +67,11 @@ def build_pipeline(args):
         path = f"./saved_models/{args.dataset}/{args.pretrained_model_name}.ckpt"
         fusion.params = ckpt.load_checkpoint(path, fusion.params)
         print(f"Loaded pretrained model: {args.pretrained_model_name}")
+    elif getattr(args, "resume", False):
+        latest = ckpt.latest_checkpoint(f"./saved_models/{args.dataset}", "epoch")
+        if latest:
+            fusion.params = ckpt.load_checkpoint(latest, fusion.params)
+            print(f"Resumed from {latest}")
 
     zsl_cfg = ZSLConfig(
         emb_dim=args.emb_dim, noise_dim=args.noise_dim,
@@ -88,11 +93,13 @@ def build_pipeline(args):
 
 def run_zsl_round(args, fusion, zsl, logger):
     """Freeze-learner → refresh embeddings → adversarial round → eval
-    (reference main.py:203-213)."""
+    (reference main.py:203-213); saves ZSL components to Embed_used
+    (zsl_module.py:205-207)."""
     ent_embs = fusion.generate_ent_embeddings()
     rel_embs = fusion.generate_rel_embeddings()
     zsl.update_embed(ent_embs, rel_embs)
     zsl.train_gan(fusion)
+    zsl.save(args.save_path, fusion)
     result = zsl.evaluate(fusion, mode="test")
     logger.log({f"zsl_{k}": v for k, v in result.items() if isinstance(v, (int, float))})
     return result

@@ -149,6 +149,33 @@ def type_constraints(triples: np.ndarray, n_relations: int):
     return head_type, tail_type, categories
 
 
+def embed_relation_texts(descriptions: list, out_path: str | None = None,
+                         dim: int = 384, vocab_size: int = 30522) -> "np.ndarray":
+    """Offline relation-text embeddings (utils/generate_text_pretrain.py
+    equivalent). The reference uses a SentenceTransformer; here the hermetic
+    fallback embeds via hashed bag-of-words with sin-cos positional mixing —
+    pass the embeddings from the trained M3AE text encoder
+    (FusionTrainer.generate_rel_embeddings) for learned embeddings instead.
+    """
+    from mre_tpu.data.multimodal import HashingTokenizer
+    from mre_tpu.ops.pos_embed import get_1d_sincos_pos_embed
+
+    tok = HashingTokenizer(vocab_size)
+    rng = np.random.default_rng(0)
+    table = rng.normal(scale=1.0 / np.sqrt(dim), size=(vocab_size, dim)).astype(np.float32)
+    out = np.zeros((len(descriptions), dim), np.float32)
+    max_len = 64
+    pos = get_1d_sincos_pos_embed(dim, max_len)[0]
+    for i, text in enumerate(descriptions):
+        ids, mask = tok(text, max_len)
+        valid = mask == 0.0
+        if valid.any():
+            out[i] = (table[ids[valid]] + pos[valid]).mean(0)
+    if out_path:
+        np.savez(out_path, embeddings=out)
+    return out
+
+
 def id_txt_to_json(txt_path: str, json_path: str | None = None) -> dict:
     """Convert an OpenKE ``*2id.txt`` map to the ``*2ids.json`` schema
     (utils/switch_txt_json.py)."""

@@ -63,6 +63,22 @@ class Model:
     def load_checkpoint(self, path):
         self.params = load_checkpoint(path, self.params)
 
+    def get_parameters(self, mode: str = "numpy"):
+        """Parameter dict for cross-model transfer (BaseModule.get_parameters;
+        used by the TransE→TransR pretraining flow in
+        OpenKE/examples/train_transr_FB15K237.py)."""
+        if mode == "list":
+            return jax.tree_util.tree_map(lambda x: np.asarray(x).tolist(), self.params)
+        return jax.tree_util.tree_map(np.asarray, self.params)
+
+    def set_parameters(self, parameters):
+        """Copy matching keys (e.g. 'ent'/'rel' tables) into this model."""
+        new = dict(self.params)
+        for k, v in parameters.items():
+            if k in new:
+                new[k] = jnp.asarray(np.asarray(v), new[k].dtype).reshape(new[k].shape)
+        self.params = new
+
     def save_parameters(self, path):
         import json
 

@@ -498,6 +498,31 @@ class ZSLModule:
     def _run_g_step(self, g_step, fusion_trainer, g_params, g_opt_state, batch):
         return self._g_runner(g_params, g_opt_state, batch)
 
+    # -- persistence (zsl_module.py:205-207, 751-755) -------------------------
+
+    def save(self, save_path: str, fusion_trainer=None):
+        """Write Extractor/Discriminator (and the generator head, i.e. the
+        fusion params) under ``save_path`` like the reference's Embed_used."""
+        from mre_tpu.core import checkpoint as ckpt
+
+        ckpt.save_checkpoint(f"{save_path}/Extractor", self.ex_params)
+        ckpt.save_checkpoint(f"{save_path}/Discriminator",
+                             {"params": self.d_params, "spectral": self.d_spectral})
+        if fusion_trainer is not None:
+            ckpt.save_checkpoint(f"{save_path}/Generator", fusion_trainer.params)
+
+    def load(self, save_path: str, fusion_trainer=None):
+        from mre_tpu.core import checkpoint as ckpt
+        import os
+
+        self.ex_params = ckpt.load_checkpoint(f"{save_path}/Extractor", self.ex_params)
+        d = ckpt.load_checkpoint(f"{save_path}/Discriminator",
+                                 {"params": self.d_params, "spectral": self.d_spectral})
+        self.d_params, self.d_spectral = d["params"], d["spectral"]
+        gen_path = f"{save_path}/Generator"
+        if fusion_trainer is not None and os.path.exists(gen_path):
+            fusion_trainer.params = ckpt.load_checkpoint(gen_path, fusion_trainer.params)
+
     # -- evaluation (zsl_module.py:635-745) ----------------------------------
 
     def evaluate(self, fusion_trainer, mode: str = "test", verbose: bool = True,

@@ -89,3 +89,14 @@ def test_triple_classification(bench_dir):
     tester = Tester(model=model, data_loader=TestDataLoader(in_path=bench_dir))
     acc, thr = tester.run_triple_classification()
     assert 0.0 <= acc <= 1.0
+
+
+def test_parameter_transfer_transe_to_transr():
+    from mre_tpu.openke import TransE, TransR
+
+    te = TransE(20, 4, dim=8, seed=0)
+    tr = TransR(20, 4, dim_e=8, dim_r=8, seed=1)
+    tr.set_parameters(te.get_parameters())
+    np.testing.assert_array_equal(np.asarray(tr.params["ent"]), np.asarray(te.params["ent"]))
+    np.testing.assert_array_equal(np.asarray(tr.params["rel"]), np.asarray(te.params["rel"]))
+    assert "mat" in tr.params

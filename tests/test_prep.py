@@ -80,3 +80,11 @@ def test_write_type_constrain_roundtrip(tmp_path):
     for r in range(3):
         assert set(np.where(head_mask[r])[0].tolist()) == set(head_type[r])
         assert set(np.where(tail_mask[r])[0].tolist()) == set(tail_type[r])
+
+
+def test_embed_relation_texts():
+    descs = ["alpha links to beta", "gamma connects delta", "alpha links to beta"]
+    out = prep.embed_relation_texts(descs, dim=32)
+    assert out.shape == (3, 32)
+    np.testing.assert_array_equal(out[0], out[2])   # deterministic
+    assert not np.allclose(out[0], out[1])

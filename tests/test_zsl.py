@@ -98,3 +98,16 @@ def test_distill_model():
     assert losses[-1] < losses[0] * 0.8
     pred = predict(params, token_embs)
     assert pred.shape == (10, 8)
+
+
+def test_zsl_save_load_roundtrip(setup, tmp_path):
+    _, data, fusion, zsl = setup
+    save_dir = str(tmp_path / "embed_used")
+    zsl.save(save_dir, fusion)
+    import jax.numpy as jnp2
+    before = np.asarray(jax.tree_util.tree_leaves(zsl.ex_params)[0])
+    # perturb then reload
+    zsl.ex_params = jax.tree_util.tree_map(lambda x: x + 1.0, zsl.ex_params)
+    zsl.load(save_dir, fusion)
+    after = np.asarray(jax.tree_util.tree_leaves(zsl.ex_params)[0])
+    np.testing.assert_array_equal(before, after)
