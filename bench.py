@@ -62,13 +62,18 @@ def run_device(symbols, connections, degrees, rel_vecs, pairs, ents):
     params = extractor.init({"params": jax.random.key(0)}, symbols_d, dummy,
                             dummy, meta0, meta0, True)["params"]
 
+    # per-entity neighbor encodings precomputed once per evaluation
+    nbr_table = jax.jit(lambda: extractor.apply(
+        {"params": params}, symbols_d, conns_d, degs_d,
+        method=extractor.encode_neighbors))()
+
     chunk = 32  # queries per device call → [chunk*C] pair batch
 
     @jax.jit
     def score_chunk(pairs_c, left, right, rel_vecs_d):
-        meta = (conns_d[left], degs_d[left], conns_d[right], degs_d[right])
-        emb, _ = extractor.apply({"params": params}, symbols_d,
-                                 pairs_c, pairs_c, meta, meta, True)
+        emb = extractor.apply({"params": params}, symbols_d, nbr_table,
+                              pairs_c, left, right,
+                              method=extractor.embed_pairs_precomputed)
         emb = emb.reshape(chunk, C, EMB_DIM)
         mask = jnp.ones((chunk, C), bool)
         return _score_and_rank(emb, rel_vecs_d, mask)

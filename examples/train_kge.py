@@ -27,10 +27,11 @@ RECIPES = {
                         dict(nbatches=100, bern_flag=1, filter_flag=1, neg_ent=25),
                         dict(loss=("margin", dict(margin=5.0))),
                         dict(train_times=1000, alpha=1.0, opt_method="sgd")),
-    "transe_WN18_adv_sigmoidloss": ("TransE", dict(dim=200, p_norm=1, norm_flag=True),
-                                    dict(nbatches=100, bern_flag=0, filter_flag=1, neg_ent=25),
+    "transe_WN18_adv_sigmoidloss": ("TransE", dict(dim=1024, p_norm=1, norm_flag=False, margin=6.0),
+                                    dict(batch_size=2000, bern_flag=0, filter_flag=1,
+                                         neg_ent=64, sampling_mode="cross"),
                                     dict(loss=("sigmoid", dict(adv_temperature=1.0))),
-                                    dict(train_times=1000, alpha=0.5, opt_method="adam")),
+                                    dict(train_times=3000, alpha=2e-5, opt_method="adam")),
     "transh_FB15K237": ("TransH", dict(dim=200, p_norm=1, norm_flag=True),
                         dict(nbatches=100, bern_flag=1, filter_flag=1, neg_ent=25),
                         dict(loss=("margin", dict(margin=4.0))),
@@ -72,7 +73,7 @@ RECIPES = {
     "hole_WN18RR": ("HolE", dict(dim=100),
                     dict(nbatches=100, bern_flag=1, filter_flag=1, neg_ent=25),
                     dict(loss=("softplus", dict()), regul_rate=1.0),
-                    dict(train_times=2000, alpha=0.5, opt_method="adagrad")),
+                    dict(train_times=1000, alpha=0.5, opt_method="adagrad")),
     "rotate_WN18RR_adv": ("RotatE", dict(dim=1024, margin=6.0, epsilon=2.0),
                           dict(batch_size=2000, bern_flag=0, filter_flag=1,
                                neg_ent=64, sampling_mode="cross"),
@@ -118,7 +119,9 @@ def main(argv=None):
     model_cls = getattr(ok, model_name)
     # margin/epsilon init args only exist for some models
     model_kw = {k: v for k, v in model_kw.items()
-                if k not in ("margin", "epsilon") or model_name in ("RotatE",)}
+                if k not in ("epsilon",) or model_name in ("RotatE",)}
+    if model_name not in ("RotatE", "TransE"):
+        model_kw.pop("margin", None)
     model = model_cls(loader.get_ent_tot(), loader.get_rel_tot(), **model_kw)
 
     loss_name, loss_kw = strat_kw.pop("loss")

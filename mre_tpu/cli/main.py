@@ -91,12 +91,22 @@ def build_pipeline(args):
     return data, store, table, fusion, zsl
 
 
-def run_zsl_round(args, fusion, zsl, logger):
+def run_zsl_round(args, fusion, zsl, logger, dump_embeddings: bool = False):
     """Freeze-learner → refresh embeddings → adversarial round → eval
     (reference main.py:203-213); saves ZSL components to Embed_used
     (zsl_module.py:205-207)."""
     ent_embs = fusion.generate_ent_embeddings()
     rel_embs = fusion.generate_rel_embeddings()
+    if dump_embeddings:
+        # evaluate-mode embedding dumps (reference main.py:328-331)
+        import pickle
+
+        import numpy as np
+
+        with open("./temp_ent_embs.pkl", "wb") as f:
+            pickle.dump(np.asarray(ent_embs), f)
+        with open("./temp_rel_embs.pkl", "wb") as f:
+            pickle.dump(np.asarray(rel_embs), f)
     zsl.update_embed(ent_embs, rel_embs)
     zsl.train_gan(fusion)
     zsl.save(args.save_path, fusion)
@@ -135,7 +145,7 @@ def main(args):
 def evaluate_entry(args):
     logger = MetricLogger(output_dir=args.output_dir)
     data, store, table, fusion, zsl = build_pipeline(args)
-    result = run_zsl_round(args, fusion, zsl, logger)
+    result = run_zsl_round(args, fusion, zsl, logger, dump_embeddings=True)
     print(f"[Final ZSL Scores] MRR: {result['mrr']:.4f}  Hits@10: {result['hits10']:.4f}  "
           f"Hits@5: {result['hits5']:.4f}  Hits@1: {result['hits1']:.4f}")
     return result

@@ -7,6 +7,14 @@ Flax re-designs of the reference's matching metric (module/zsl_module.py:17-138)
   input array (not a parameter): the fusion learner refreshes it between
   rounds (``update_embed``, zsl_module.py:235-237), so keeping it out of the
   param tree makes the update a plain array swap — no optimizer state churn.
+
+  Eval fast path: the neighbor encoding depends only on the *entity* (its
+  connection row), not on the query pair — ``encode_neighbors`` precomputes
+  the [n_entities, emb/2] table once per evaluation, then
+  ``embed_pairs_precomputed`` embeds query pairs with plain row gathers.
+  This removes the dominant [Q·C, max_neighbor, D] gather from the
+  zero-shot ranking hot path.
+
 * ``Discriminator`` — spectral-norm critic producing (middle vector,
   real/fake logit, class scores against the centroid matrix).
 """
@@ -25,56 +33,72 @@ class Extractor(nn.Module):
     embed_dim: int
     dropout: float = 0.2
 
-    @nn.compact
+    def setup(self):
+        half = self.embed_dim // 2
+        xn = nn.initializers.xavier_normal()
+        self.gcn_w = nn.Dense(half, name="gcn_w", kernel_init=xn)
+        self.fc1 = nn.Dense(half, name="fc1", kernel_init=xn)
+        self.fc2 = nn.Dense(half, name="fc2", kernel_init=xn)
+        self.reshape_layer = nn.Dense(self.embed_dim, name="reshape_layer", kernel_init=xn)
+        self.support_encoder = SupportEncoder(self.embed_dim, 2 * self.embed_dim,
+                                              dropout=0.2, name="support_encoder")
+        self.drop = nn.Dropout(self.dropout)
+
+    def _neighbor_encoder(self, symbols, connections, num_neighbors, deterministic):
+        """Mean of projected neighbor-entity embeddings → tanh
+        (zsl_module.py:46-59). connections: [..., K, 2] (rel_sym, ent_sym)."""
+        ents = connections[..., 1]
+        ent_embeds = self.drop(symbols[ents], deterministic=deterministic)
+        out = jnp.sum(self.gcn_w(ent_embeds), axis=-2)
+        out = out / jnp.maximum(num_neighbors, 1.0)[..., None]
+        return jnp.tanh(out)
+
+    def _entity_encoder(self, e1, e2, deterministic):
+        e1 = self.drop(e1, deterministic=deterministic)
+        e2 = self.drop(e2, deterministic=deterministic)
+        return jnp.tanh(jnp.concatenate([self.fc1(e1), self.fc2(e2)], axis=-1))
+
     def __call__(self, symbols, query, support, query_meta, support_meta,
                  deterministic: bool = True):
         """symbols: [num_symbols+1, D]; query/support: [B, 2] symbol ids;
         metas: (left_connections, left_degrees, right_connections,
-        right_degrees) with connections [B, max_neighbor, 2] (rel_sym,
-        ent_sym). Returns (query_embeddings, matching_scores)."""
-        half = self.embed_dim // 2
-        xn = nn.initializers.xavier_normal()
-        gcn_w = nn.Dense(half, name="gcn_w", kernel_init=xn)
-        fc1 = nn.Dense(half, name="fc1", kernel_init=xn)
-        fc2 = nn.Dense(half, name="fc2", kernel_init=xn)
-        reshape_layer = nn.Dense(self.embed_dim, name="reshape_layer", kernel_init=xn)
-        support_encoder = SupportEncoder(self.embed_dim, 2 * self.embed_dim,
-                                         dropout=0.2, name="support_encoder")
-        drop = nn.Dropout(self.dropout)
-
-        def neighbor_encoder(connections, num_neighbors):
-            # mean of projected neighbor-entity embeddings → tanh
-            # (zsl_module.py:46-59)
-            ents = connections[:, :, 1]
-            ent_embeds = drop(symbols[ents], deterministic=deterministic)
-            out = jnp.sum(gcn_w(ent_embeds), axis=1)
-            out = out / jnp.maximum(num_neighbors, 1.0)[:, None]
-            return jnp.tanh(out)
-
-        def entity_encoder(e1, e2):
-            e1 = drop(e1, deterministic=deterministic)
-            e2 = drop(e2, deterministic=deterministic)
-            return jnp.tanh(jnp.concatenate([fc1(e1), fc2(e2)], axis=-1))
-
+        right_degrees). Returns (query_embeddings, matching_scores)."""
         ql_conn, ql_deg, qr_conn, qr_deg = query_meta
         sl_conn, sl_deg, sr_conn, sr_deg = support_meta
 
-        q_e = entity_encoder(symbols[query[:, 0]], symbols[query[:, 1]])
-        s_e = entity_encoder(symbols[support[:, 0]], symbols[support[:, 1]])
+        q_e = self._entity_encoder(symbols[query[:, 0]], symbols[query[:, 1]], deterministic)
+        s_e = self._entity_encoder(symbols[support[:, 0]], symbols[support[:, 1]], deterministic)
 
-        q = reshape_layer(jnp.concatenate(
-            [neighbor_encoder(ql_conn, ql_deg), q_e,
-             neighbor_encoder(qr_conn, qr_deg)], axis=-1))
-        s = reshape_layer(jnp.concatenate(
-            [neighbor_encoder(sl_conn, sl_deg), s_e,
-             neighbor_encoder(sr_conn, sr_deg)], axis=-1))
+        q = self.reshape_layer(jnp.concatenate(
+            [self._neighbor_encoder(symbols, ql_conn, ql_deg, deterministic), q_e,
+             self._neighbor_encoder(symbols, qr_conn, qr_deg, deterministic)], axis=-1))
+        s = self.reshape_layer(jnp.concatenate(
+            [self._neighbor_encoder(symbols, sl_conn, sl_deg, deterministic), s_e,
+             self._neighbor_encoder(symbols, sr_conn, sr_deg, deterministic)], axis=-1))
 
-        q_g = support_encoder(q, deterministic)
-        s_g = support_encoder(s, deterministic)
+        q_g = self.support_encoder(q, deterministic)
+        s_g = self.support_encoder(s, deterministic)
         s_g = jnp.mean(s_g, axis=0, keepdims=True)
 
         scores = jnp.squeeze(q_g @ s_g.T, axis=-1)
         return q_g, scores
+
+    # -- eval fast path ------------------------------------------------------
+
+    def encode_neighbors(self, symbols, connections, degrees):
+        """Per-entity neighbor encodings [n_entities, emb/2] (eval mode)."""
+        return self._neighbor_encoder(symbols, connections, degrees, True)
+
+    def embed_pairs_precomputed(self, symbols, nbr_table, pairs, left, right):
+        """Pair embeddings using precomputed neighbor encodings.
+
+        pairs: [N, 2] symbol ids; left/right: [N] entity ids into nbr_table.
+        Equivalent to the eval-mode __call__ query path.
+        """
+        e = self._entity_encoder(symbols[pairs[..., 0]], symbols[pairs[..., 1]], True)
+        x = self.reshape_layer(jnp.concatenate(
+            [nbr_table[left], e, nbr_table[right]], axis=-1))
+        return self.support_encoder(x, True)
 
 
 class Discriminator(nn.Module):

@@ -29,7 +29,17 @@ class Model:
         self.rel_tot = rel_tot
         self._fn = K.get(self.model_name)
         self._score_kwargs = {}
+        self._margin = None   # margin_flag semantics: forward = margin − score
         self.params = self._fn.init(jax.random.key(seed), ent_tot, rel_tot, **init_kwargs)
+
+    def train_score(self, params, h, r, t):
+        """Training-orientation score including the reference's margin_flag
+        behavior (e.g. TransE.py:40-44, 71-74: forward = margin − distance
+        when a margin is configured)."""
+        s = self._fn.score(params, h, r, t, **self._score_kwargs)
+        if self._margin is not None:
+            s = self._margin - s
+        return s
 
     # -- OpenKE batch-dict interface --------------------------------------
 
@@ -37,7 +47,7 @@ class Model:
         h = jnp.asarray(data["batch_h"])
         t = jnp.asarray(data["batch_t"])
         r = jnp.asarray(data["batch_r"])
-        return self._fn.score(self.params, h, r, t, **self._score_kwargs)
+        return self.train_score(self.params, h, r, t)
 
     def predict(self, data):
         h = jnp.asarray(data["batch_h"])
@@ -102,6 +112,7 @@ class TransE(Model):
                  margin=None, epsilon=None, seed=0):
         super().__init__(ent_tot, rel_tot, seed=seed, dim=dim)
         self._score_kwargs = dict(p_norm=p_norm, norm_flag=norm_flag)
+        self._margin = margin
 
 
 class TransH(Model):
@@ -239,7 +250,7 @@ class NegativeSampling:
         h = jnp.asarray(data["batch_h"])
         t = jnp.asarray(data["batch_t"])
         r = jnp.asarray(data["batch_r"])
-        score = self.model._fn.score(params, h, r, t, **self.model._score_kwargs)
+        score = self.model.train_score(params, h, r, t)
         p, n = self._split(score)
         value = self.loss(p, n)
         if self.regul_rate:

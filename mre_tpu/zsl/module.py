@@ -529,13 +529,18 @@ class ZSLModule:
                  query_chunk: int = 64):
         test_candidates = loaders.load_candidates(self.data_path, mode)
 
+        # precompute per-entity neighbor encodings once — removes the
+        # [Q·C, max_neighbor, D] gather from the ranking hot path
+        nbr_table = jax.jit(lambda: self.extractor.apply(
+            {"params": self.ex_params}, self.symbol_table, self.connections,
+            self.degrees, method=self.extractor.encode_neighbors))()
+
         @jax.jit
         def embed(pairs, left, right):
-            meta = self._meta(left, right)
-            q_g, _ = self.extractor.apply(
-                {"params": self.ex_params}, self.symbol_table, pairs, pairs,
-                meta, meta, True)
-            return q_g
+            return self.extractor.apply(
+                {"params": self.ex_params}, self.symbol_table, nbr_table,
+                pairs, left, right,
+                method=self.extractor.embed_pairs_precomputed)
 
         def gen_rel_vecs(rel_name):
             rel_id = self.r2id[rel_name]

@@ -111,3 +111,24 @@ def test_zsl_save_load_roundtrip(setup, tmp_path):
     zsl.load(save_dir, fusion)
     after = np.asarray(jax.tree_util.tree_leaves(zsl.ex_params)[0])
     np.testing.assert_array_equal(before, after)
+
+
+def test_precomputed_pairs_match_call_path(setup):
+    """embed_pairs_precomputed must equal the eval-mode __call__ embeddings."""
+    _, data, fusion, zsl = setup
+    rng = np.random.default_rng(0)
+    n_ent = len(data["e2id"])
+    n_rel = len(data["r2id"])
+    pairs = jnp.asarray(rng.integers(n_rel, n_rel + n_ent, (9, 2)), jnp.int32)
+    left = jnp.asarray(rng.integers(0, n_ent, 9), jnp.int32)
+    right = jnp.asarray(rng.integers(0, n_ent, 9), jnp.int32)
+    meta = zsl._meta(left, right)
+    q_g, _ = zsl.extractor.apply({"params": zsl.ex_params}, zsl.symbol_table,
+                                 pairs, pairs, meta, meta, True)
+    nbr = zsl.extractor.apply({"params": zsl.ex_params}, zsl.symbol_table,
+                              zsl.connections, zsl.degrees,
+                              method=zsl.extractor.encode_neighbors)
+    fast = zsl.extractor.apply({"params": zsl.ex_params}, zsl.symbol_table,
+                               nbr, pairs, left, right,
+                               method=zsl.extractor.embed_pairs_precomputed)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(q_g), rtol=2e-4, atol=2e-5)
