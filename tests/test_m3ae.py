@@ -110,3 +110,26 @@ def test_padding_mask_blocks_attention(m3ae):
     b, _ = model.apply(variables, patches, text2, pad, True,
                        method=model.forward_representation)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_m3ae_pretrain_loss(m3ae):
+    from mre_tpu.train.pretrain import m3ae_pretrain_loss
+
+    model, variables, patches, text, pad = m3ae
+    rng = np.random.default_rng(5)
+    u_text = jnp.asarray(rng.integers(0, VOCAB, (2, TXT_LEN)), jnp.int32)
+    u_pad = jnp.zeros((2, TXT_LEN), jnp.float32)
+
+    keyholder = {"i": 0}
+
+    def apply(img, txt, padding):
+        keyholder["i"] += 1
+        return model.apply(variables, img, txt, padding, False,
+                           rngs={"masking": jax.random.key(keyholder["i"])})
+
+    batch = dict(image_patches=patches, text=text, text_padding_mask=pad,
+                 unpaired_text=u_text, unpaired_text_padding_mask=u_pad)
+    loss, info = m3ae_pretrain_loss(apply, batch)
+    assert np.isfinite(float(loss))
+    for k in ("image_loss", "text_loss", "unpaired_text_loss", "text_accuracy"):
+        assert np.isfinite(float(info[k])), k
