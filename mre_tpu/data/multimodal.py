@@ -181,20 +181,41 @@ class MultimodalStore:
         limit = np.sqrt(6.0 / (s + 3))
         return (self._rng.uniform(-limit, limit, (s, s, 3)) * 10.0).astype(np.float32)
 
-    def entity_images(self, node_ids: np.ndarray, train: bool = True) -> np.ndarray:
+    def entity_images(self, node_ids: np.ndarray, train: bool = True,
+                      workers: int = 8) -> np.ndarray:
+        """Decode + augment entity images; decode fans out over a thread
+        pool (PIL releases the GIL) — the reference uses dataloader worker
+        processes for the same purpose (main.py:93-99)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         cfg = self.config
+        node_ids = np.asarray(node_ids)
         out = np.empty((len(node_ids), cfg.image_size, cfg.image_size, 3), np.float32)
         mean = np.asarray(self.image_mean, np.float32)
         std = np.asarray(self.image_std, np.float32)
-        for k, i in enumerate(np.asarray(node_ids)):
+        # per-slot RNG seeds drawn up front: thread-safe and order-deterministic
+        seeds = self._rng.integers(0, 2**63, size=len(node_ids))
+
+        def work(k):
+            i = node_ids[k]
+            rng = np.random.default_rng(seeds[k])
             if self.has_image[i]:
                 img = _decode_image(self.images[i])
-                img = random_resized_crop(self._rng, img, cfg.image_size)
-                if train and self._rng.random() < 0.5:
+                img = random_resized_crop(rng, img, cfg.image_size)
+                if train and rng.random() < 0.5:
                     img = img[:, ::-1]
                 out[k] = (img.astype(np.float32) / 255.0 - mean) / std
             else:
-                out[k] = self._placeholder_image()
+                limit = np.sqrt(6.0 / (cfg.image_size + 3))
+                out[k] = (rng.uniform(-limit, limit,
+                                      (cfg.image_size, cfg.image_size, 3)) * 10.0)
+
+        if workers > 1 and len(node_ids) > 4:
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                list(pool.map(work, range(len(node_ids))))
+        else:
+            for k in range(len(node_ids)):
+                work(k)
         return out
 
     def generate_batch(self, node_ids, rel_ids, train: bool = True) -> dict:
