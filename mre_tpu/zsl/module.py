@@ -345,7 +345,7 @@ class ZSLModule:
             self.pretrain_extractor(steps=pretrain_steps)
         self.compute_centroids()
 
-        g_step, g_params, g_opt_state = self._make_g_step(fusion_trainer)
+        run_g, g_params, g_opt_state = self._make_g_step(fusion_trainer)
 
         d_hist, g_hist = [], []
         for epoch in range(train_times):
@@ -355,8 +355,7 @@ class ZSLModule:
                 d_hist.append({k: float(v) for k, v in info_d.items()})
             for _ in range(cfg.G_epoch):
                 batch = self._padded_gan_batch()
-                g_params, g_opt_state, info_g = self._run_g_step(
-                    g_step, fusion_trainer, g_params, g_opt_state, batch)
+                g_params, g_opt_state, info_g = run_g(g_params, g_opt_state, batch)
                 g_hist.append({k: float(v) for k, v in info_g.items()})
             if log_every and (epoch + 1) % log_every == 0:
                 d_mean = np.mean([h["loss_D"] for h in d_hist[-log_every:]])
@@ -492,11 +491,7 @@ class ZSLModule:
             fusion_trainer.spectral = new_spectral
             return g_params, g_opt_state, info
 
-        self._g_runner = run
-        return g_step, g_params, g_opt_state
-
-    def _run_g_step(self, g_step, fusion_trainer, g_params, g_opt_state, batch):
-        return self._g_runner(g_params, g_opt_state, batch)
+        return run, g_params, g_opt_state
 
     # -- persistence (zsl_module.py:205-207, 751-755) -------------------------
 
