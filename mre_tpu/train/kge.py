@@ -32,10 +32,35 @@ from mre_tpu.core.metrics import MetricLogger, RollingMean
 from mre_tpu.core import checkpoint as ckpt
 
 
+def torch_adagrad(learning_rate: float) -> optax.GradientTransformation:
+    """Adagrad with torch.optim.Adagrad semantics: accumulator starts at 0
+    and eps (1e-10) is added OUTSIDE the sqrt — update = g / (√ν + 1e-10).
+
+    optax.adagrad uses rsqrt(ν + 1e-7): with the ~1e-6 per-component
+    gradients of mean-reduced KGE losses over large embedding tables that
+    shrinks steps ~300× and freezes training; torch's form takes a
+    ±lr-sized first step per touched component (what the OpenKE adagrad
+    recipes rely on to escape the tiny xavier init).
+    """
+
+    def init_fn(params):
+        return optax.ScaleByRssState(
+            sum_of_squares=jax.tree_util.tree_map(jnp.zeros_like, params))
+
+    def update_fn(updates, state, params=None):
+        nu = jax.tree_util.tree_map(lambda g, t: t + g * g, updates,
+                                    state.sum_of_squares)
+        scaled = jax.tree_util.tree_map(
+            lambda g, t: -learning_rate * g / (jnp.sqrt(t) + 1e-10), updates, nu)
+        return scaled, optax.ScaleByRssState(sum_of_squares=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(opt_method: str, lr: float, lr_decay: float = 0.0, weight_decay: float = 0.0):
     opt_method = opt_method.lower()
     if opt_method == "adagrad":
-        tx = optax.adagrad(lr)
+        tx = torch_adagrad(lr)
     elif opt_method == "adadelta":
         tx = optax.adadelta(lr)
     elif opt_method == "adam":
