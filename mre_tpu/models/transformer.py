@@ -107,9 +107,14 @@ class Attention(nn.Module):
         scale = head_dim ** -0.5
 
         # Fused Pallas path: attention-prob dropout can't apply inside the
-        # kernel, so it only serves att_drop == 0 (the reference default).
+        # kernel, so it only serves att_drop == 0 (the reference default);
+        # 'auto' also requires a head_dim where the kernel beats XLA.
+        from mre_tpu.ops.pallas.attention import pallas_attention_profitable
+
         use_pallas = (self.attention_impl == "pallas"
-                      or (self.attention_impl == "auto" and _pallas_attention_available()))
+                      or (self.attention_impl == "auto"
+                          and _pallas_attention_available()
+                          and pallas_attention_profitable(head_dim)))
         if use_pallas and (self.att_drop == 0.0 or deterministic):
             from mre_tpu.ops.pallas.attention import fused_attention
 
