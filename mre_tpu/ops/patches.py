@@ -10,7 +10,9 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def extract_patches(image: jnp.ndarray, patch_size: int) -> jnp.ndarray:
+def extract_patches(image, patch_size: int):
+    """Works on jnp arrays (device) and np arrays (host — pure reshape,
+    no transfer)."""
     b, h, w, c = image.shape
     gh, gw = h // patch_size, w // patch_size
     x = image.reshape(b, gh, patch_size, gw, patch_size, c)

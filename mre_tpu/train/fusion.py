@@ -249,8 +249,11 @@ class FusionTrainer:
             "rel_des_padding_mask": jnp.asarray(mm["rel_des_padding_mask"]),
         }
         if "image" in mm:
-            patches = np.asarray(extract_patches(jnp.asarray(mm["image"]), cfg.patch_size))
-            device_batch["image_patches"] = jnp.asarray(patches)
+            # patch extraction is a pure reshape — do it host-side in numpy
+            # (one device transfer; a jnp round-trip here costs seconds on
+            # relay-attached TPUs)
+            device_batch["image_patches"] = jnp.asarray(
+                extract_patches(mm["image"], cfg.patch_size))
         if self.mesh is not None and self.mesh.size > 1:
             device_batch = self._shard_batch(device_batch)
         return device_batch
