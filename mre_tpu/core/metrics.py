@@ -49,6 +49,15 @@ class MetricLogger:
         if self._wandb is not None:
             self._wandb.log(dict(metrics), step=step)
 
+    def save_pickle(self, obj, filename: str) -> None:
+        """WandBLogger.save_pickle equivalent (module/utils.py:102-105)."""
+        import pickle
+
+        if self._fh:
+            out_dir = os.path.dirname(self._fh.name)
+            with open(os.path.join(out_dir, filename), "wb") as f:
+                pickle.dump(obj, f)
+
     def close(self) -> None:
         if self._fh:
             self._fh.close()
