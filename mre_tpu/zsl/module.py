@@ -249,16 +249,17 @@ class ZSLModule:
             self.episodes.extractor_episode(cfg.pretrain_batch_size,
                                             cfg.pretrain_few, cfg.pretrain_subepoch)
 
-        def pad_rows(a, n):
-            a = np.asarray(a)
+        def pad_rows(a, n, cols=None):
+            shape = (n,) if cols is None else (n, cols)
+            a = np.asarray(a, np.int64).reshape((-1,) if cols is None else (-1, cols))
             if len(a) == 0:
-                return np.zeros((n,) + a.shape[1:], a.dtype if a.size else np.int64)
+                return np.zeros(shape, np.int64)
             reps = np.repeat(a[-1:], n - len(a), axis=0) if len(a) < n else a[:0]
             return np.concatenate([a[:n], reps])
 
         q_mask = np.zeros(Q, np.float32)
         q_mask[:min(len(query), Q)] = 1.0
-        return (pad_rows(support, S), pad_rows(query, Q), pad_rows(false, Q),
+        return (pad_rows(support, S, 2), pad_rows(query, Q, 2), pad_rows(false, Q, 2),
                 pad_rows(s_l, S), pad_rows(s_r, S), pad_rows(q_l, Q),
                 pad_rows(q_r, Q), pad_rows(f_l, Q), pad_rows(f_r, Q), q_mask)
 
