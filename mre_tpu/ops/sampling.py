@@ -38,43 +38,42 @@ EXACT_PAD = KG_EXACT_PAD
 REJECTION_ROUNDS = 12
 
 
-def _row_lower_bound(values: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
-                     target: jnp.ndarray, n_iters: int | None = None) -> jnp.ndarray:
-    """Vectorized lower_bound of ``target`` within each CSR slice [lo, hi).
+def _contains(kg: DeviceKG, h: jnp.ndarray, r: jnp.ndarray, t: jnp.ndarray,
+              pad: int | None = None) -> jnp.ndarray:
+    """Vectorized membership test over the full (deduped) triple set
+    (the base/Corrupt.h:166-177 ``_find``, batched).
 
-    Fixed-iteration binary search (int32 throughout — no 64-bit keys needed
-    on device); iteration count derives from the (static) array length.
+    One padded gather of the (h, r) true-tail slice + equality compare —
+    parallel depth O(1) instead of a sequential binary search (TPU gathers
+    are latency-bound). Rows longer than the pad are resolved against the
+    dense big-row matrix via a top_k compaction.
     """
-    if n_iters is None:
-        n_iters = max(int(values.shape[0]).bit_length(), 1)
-
-    def body(_, carry):
-        lo, hi = carry
-        active = lo < hi
-        mid = (lo + hi) // 2
-        v = values[jnp.clip(mid, 0, values.shape[0] - 1)]
-        go_right = jnp.logical_and(active, v < target)
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(jnp.logical_and(active, ~go_right), mid, hi)
-        return lo, hi
-
-    lo, _ = jax.lax.fori_loop(0, n_iters, body, (lo, hi))
-    return lo
-
-
-def _contains(kg: DeviceKG, h: jnp.ndarray, r: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
-    """Vectorized membership test over the full (deduped) triple set —
-    binary search of t within the sorted true-tail slice of row (h, r)
-    (the base/Corrupt.h:166-177 ``_find``, batched)."""
-    h = h.astype(jnp.int32)
-    r = r.astype(jnp.int32)
-    t = t.astype(jnp.int32)
+    pad = pad or KG_EXACT_PAD
+    shape = h.shape
+    h = h.reshape(-1).astype(jnp.int32)
+    r = r.reshape(-1).astype(jnp.int32)
+    t = t.reshape(-1).astype(jnp.int32)
     rows = h * kg.n_relations + r
-    lo = kg.hr_offsets[rows]
-    hi = kg.hr_offsets[rows + 1]
-    pos = _row_lower_bound(kg.hrt_tails, lo, hi, t)
-    v = kg.hrt_tails[jnp.clip(pos, 0, kg.hrt_tails.shape[0] - 1)]
-    return jnp.logical_and(pos < hi, v == t)
+    start = kg.hr_offsets[rows]
+    cnt = kg.hr_offsets[rows + 1] - start
+    lane = jnp.arange(pad, dtype=jnp.int32)
+    gidx = jnp.minimum(start[:, None] + lane[None, :], kg.hrt_tails.shape[0] - 1)
+    vals = kg.hrt_tails[gidx].astype(jnp.int32)
+    valid = lane[None, :] < jnp.minimum(cnt, pad)[:, None]
+    found = jnp.any(jnp.logical_and(valid, vals == t[:, None]), axis=-1)
+
+    if kg.hr_big_d.shape[0] > 0:
+        overflow = cnt > pad
+        n = found.shape[0]
+        k = min(n, n if n <= 8192 else max(1024, n // 16))
+        _, idx = jax.lax.top_k(overflow.astype(jnp.float32), k)
+        slot = jnp.maximum(kg.hr_big_index[rows[idx]], 0)
+        pad_big = kg.hr_big_d.shape[1]
+        lane_b = jnp.arange(pad_big, dtype=jnp.int32)
+        big_vals = kg.hr_big_d[slot] + lane_b[None, :]   # values = d + rank
+        found_big = jnp.any(big_vals == t[idx][:, None], axis=-1)
+        found = found.at[idx].set(jnp.where(overflow[idx], found_big, found[idx]))
+    return found.reshape(shape)
 
 
 def _complement_draw(key: jax.Array, values: jnp.ndarray, offsets: jnp.ndarray,
