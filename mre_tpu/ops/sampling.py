@@ -14,9 +14,10 @@ batched, and host-loop-free:
   rows (see ``_complement_draw``). No sequential binary searches on the
   sampling path — TPU random gathers are latency-bound, so parallel depth,
   not FLOPs, sets the speed here.
-* **Membership tests** (subgraph-local corruption, eval filters) use a
-  fixed-iteration per-row binary search (the base/Corrupt.h:166-177
-  ``_find``, vectorized; int32 throughout — no 64-bit keys on device).
+* **Membership tests** (subgraph-local corruption, triple classification)
+  use the same padded-gather + big-row structure (the base/Corrupt.h:166-177
+  ``_find``, vectorized with O(1) parallel depth; int32 throughout — no
+  64-bit keys on device).
 * **Bernoulli head/tail choice** — per-relation left/right means
   (base/Reader.h:141-158, Base.cpp:112-115) drive the corruption side.
 """
