@@ -142,3 +142,44 @@ def test_cross_entropy_matches_torch_reference():
     got, _ = L.cross_entropy_loss_and_accuracy(jnp.asarray(logits),
                                                jnp.asarray(tokens), jnp.asarray(valid))
     np.testing.assert_allclose(float(got), float(expected), rtol=1e-5)
+
+
+def test_adagrad_matches_torch():
+    """torch_adagrad must match torch.optim.Adagrad step-for-step, including
+    the tiny-gradient regime that exposed the optax eps-placement difference."""
+    import jax.numpy as jnp
+
+    from mre_tpu.train.kge import make_optimizer
+
+    rng = np.random.default_rng(0)
+    p0 = rng.normal(size=6).astype(np.float32) * 0.01
+    grads = [rng.normal(size=6).astype(np.float32) * s
+             for s in (1e-6, 1e-4, 1e-2, 1.0)]
+
+    tx = make_optimizer("adagrad", 0.3)
+    p_j = jnp.asarray(p0)
+    st = tx.init(p_j)
+    p_t = torch.tensor(p0.copy(), requires_grad=True)
+    opt = torch.optim.Adagrad([p_t], lr=0.3)
+    for g in grads:
+        up, st = tx.update(jnp.asarray(g), st, p_j)
+        p_j = p_j + up
+        p_t.grad = torch.from_numpy(g.copy())
+        opt.step()
+        np.testing.assert_allclose(np.asarray(p_j), p_t.detach().numpy(),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_transe_margin_flag_matches_reference():
+    """TransE with margin: forward = margin − distance; predict = distance
+    (reference TransE.py:40-44, 66-74, 86-94)."""
+    import jax.numpy as jnp
+
+    from mre_tpu.openke import TransE
+
+    m = TransE(10, 3, dim=8, norm_flag=False, margin=6.0, seed=0)
+    data = {"batch_h": np.asarray([1, 2]), "batch_t": np.asarray([3, 4]),
+            "batch_r": np.asarray([0, 1]), "mode": "normal"}
+    fwd = np.asarray(m.forward(data))
+    dist = np.asarray(m.predict(data))
+    np.testing.assert_allclose(fwd, 6.0 - dist, rtol=1e-5)
