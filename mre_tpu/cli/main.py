@@ -103,9 +103,11 @@ def run_zsl_round(args, fusion, zsl, logger, dump_embeddings: bool = False):
 
         import numpy as np
 
-        with open("./temp_ent_embs.pkl", "wb") as f:
+        out_dir = getattr(args, "output_dir", ".") or "."
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "temp_ent_embs.pkl"), "wb") as f:
             pickle.dump(np.asarray(ent_embs), f)
-        with open("./temp_rel_embs.pkl", "wb") as f:
+        with open(os.path.join(out_dir, "temp_rel_embs.pkl"), "wb") as f:
             pickle.dump(np.asarray(rel_embs), f)
     zsl.update_embed(ent_embs, rel_embs)
     zsl.train_gan(fusion)

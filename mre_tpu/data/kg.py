@@ -68,6 +68,13 @@ class TripleTable:
     hr_big_d: np.ndarray         # [n_big, pad_big] int32 (tails − rank)
     tr_big_index: np.ndarray
     tr_big_d: np.ndarray
+    pair_keys: np.ndarray        # [T] int64, sorted pack(h, t) (rels grouped)
+    pair_rels: np.ndarray        # [T] int32 relations in (h, t, r)-sorted order
+    pair_pad: int                # max #relations per (h, t) pair
+    # Fraction of triples living in CSR rows longer than EXACT_PAD — used to
+    # size the tier-2 overflow compaction so exactness loss is never silent.
+    hr_overflow_frac: float
+    tr_overflow_frac: float
 
     @classmethod
     def build(cls, triples: np.ndarray, n_entities: int, n_relations: int) -> "TripleTable":
@@ -116,6 +123,21 @@ class TripleTable:
         trh_heads = h[trh_order].astype(np.int32)
         hr_big_index, hr_big_d = _build_big_rows(hr_offsets, hrt_tails, EXACT_PAD)
         tr_big_index, tr_big_d = _build_big_rows(tr_offsets, trh_heads, EXACT_PAD)
+
+        def overflow_frac(offsets):
+            sizes = np.diff(offsets)
+            big = sizes[sizes > EXACT_PAD]
+            return float(big.sum() / max(len(triples), 1))
+
+        # by-(h, t) relation index for filtered relation corruption
+        # (base/Corrupt.h:86-163: true relations of a pair are a sorted
+        # sub-range of the htr-sorted list).
+        htr = _pack(h, t, r, E, R)
+        htr_order = np.argsort(htr, kind="stable")
+        pair_keys = (h.astype(np.int64) * E + t.astype(np.int64))[htr_order]
+        pair_rels = r[htr_order].astype(np.int32)
+        _, pair_counts = np.unique(pair_keys, return_counts=True)
+        pair_pad = int(pair_counts.max()) if len(pair_counts) else 1
         return cls(
             n_entities=E,
             n_relations=R,
@@ -132,6 +154,11 @@ class TripleTable:
             hr_big_d=hr_big_d,
             tr_big_index=tr_big_index,
             tr_big_d=tr_big_d,
+            pair_keys=pair_keys,
+            pair_rels=pair_rels,
+            pair_pad=pair_pad,
+            hr_overflow_frac=overflow_frac(hr_offsets),
+            tr_overflow_frac=overflow_frac(tr_offsets),
         )
 
     # --- host-side queries (used by tests and CPU fallbacks) -------------
@@ -178,9 +205,17 @@ class DeviceKG:
     hr_big_d: jnp.ndarray
     tr_big_index: jnp.ndarray
     tr_big_d: jnp.ndarray
+    pair_keys: jnp.ndarray | None    # int32 pack(h, t); None when E² ≥ 2³¹
+    pair_rels: jnp.ndarray | None
+    pair_pad: int = 1
+    hr_overflow_frac: float = 0.0
+    tr_overflow_frac: float = 0.0
 
     @classmethod
     def from_table(cls, t: TripleTable) -> "DeviceKG":
+        # device arrays are int32-only (x64 is disabled); the packed (h, t)
+        # pair key fits iff E² < 2³¹ — true for every benchmark in scope.
+        pair_ok = t.n_entities * t.n_entities < 2**31
         return cls(
             n_entities=t.n_entities,
             n_relations=t.n_relations,
@@ -195,19 +230,28 @@ class DeviceKG:
             hr_big_d=jnp.asarray(t.hr_big_d),
             tr_big_index=jnp.asarray(t.tr_big_index),
             tr_big_d=jnp.asarray(t.tr_big_d),
+            pair_keys=jnp.asarray(t.pair_keys, jnp.int32) if pair_ok else None,
+            pair_rels=jnp.asarray(t.pair_rels) if pair_ok else None,
+            pair_pad=t.pair_pad,
+            hr_overflow_frac=t.hr_overflow_frac,
+            tr_overflow_frac=t.tr_overflow_frac,
         )
 
 
 def _kg_flatten(kg: DeviceKG):
     children = (kg.triples, kg.hr_offsets, kg.tr_offsets,
                 kg.hrt_tails, kg.trh_heads, kg.left_mean, kg.right_mean,
-                kg.hr_big_index, kg.hr_big_d, kg.tr_big_index, kg.tr_big_d)
-    aux = (kg.n_entities, kg.n_relations)
+                kg.hr_big_index, kg.hr_big_d, kg.tr_big_index, kg.tr_big_d,
+                kg.pair_keys, kg.pair_rels)
+    aux = (kg.n_entities, kg.n_relations, kg.pair_pad,
+           kg.hr_overflow_frac, kg.tr_overflow_frac)
     return children, aux
 
 
 def _kg_unflatten(aux, children):
-    return DeviceKG(aux[0], aux[1], *children)
+    return DeviceKG(aux[0], aux[1], *children,
+                    pair_pad=aux[2], hr_overflow_frac=aux[3],
+                    tr_overflow_frac=aux[4])
 
 
 import jax.tree_util  # noqa: E402

@@ -28,16 +28,18 @@ import numpy as np
 def _score_and_rank(cand_emb, rel_vecs, cand_mask):
     """cand_emb [Q, C, D]; rel_vecs [S, D]; cand_mask [Q, C] (col 0 = true).
 
-    Returns ranks [Q]: 1 + #(mean-cosine strictly greater than the true's)
-    among valid candidates (reference zsl_module.py:699-706 semantics,
-    descending argsort)."""
+    Returns ranks [Q]. Tie semantics match the reference
+    (zsl_module.py:705-706): ``argsort(scores)[::-1]`` with a stable
+    ascending sort places the true candidate (index 0) *last* among equal
+    scores, so rank = 1 + #greater + #tied — the pessimistic tie rank, never
+    inflating Hits@k for quantized cosine scores."""
     emb = cand_emb / jnp.maximum(jnp.linalg.norm(cand_emb, axis=-1, keepdims=True), 1e-12)
     rv = rel_vecs / jnp.maximum(jnp.linalg.norm(rel_vecs, axis=-1, keepdims=True), 1e-12)
     scores = jnp.einsum("qcd,sd->qcs", emb, rv,
                         preferred_element_type=jnp.float32).mean(-1)   # [Q, C]
     true_s = scores[:, :1]
     valid = cand_mask.at[:, 0].set(False)
-    better = jnp.sum(jnp.logical_and(scores > true_s, valid), axis=1)
+    better = jnp.sum(jnp.logical_and(scores >= true_s, valid), axis=1)
     return better + 1
 
 

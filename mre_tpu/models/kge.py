@@ -447,7 +447,10 @@ def _rotate_distance(params, h, r, t):
     dim = re.shape[-1]
     h_re, h_im = he[..., :dim], he[..., dim:]
     t_re, t_im = te[..., :dim], te[..., dim:]
-    phase = re / (params["rel_range"] / jnp.pi)
+    # margin/rel_range are frozen buffers in the reference
+    # (RotatE.py: requires_grad=False) — block gradients so optimizers
+    # never drift them.
+    phase = re / (jax.lax.stop_gradient(params["rel_range"]) / jnp.pi)
     r_re, r_im = jnp.cos(phase), jnp.sin(phase)
     s_re = h_re * r_re - h_im * r_im - t_re
     s_im = h_re * r_im + h_im * r_re - t_im
@@ -456,12 +459,12 @@ def _rotate_distance(params, h, r, t):
 
 def _rotate_score(params, h, r, t):
     # Reference RotatE forward = margin − distance (RotatE.py:83-92).
-    return params["margin"] - _rotate_distance(params, h, r, t)
+    return jax.lax.stop_gradient(params["margin"]) - _rotate_distance(params, h, r, t)
 
 
 def _rotate_predict(params, h, r, t):
     # Reference predict = −forward = distance − margin (RotatE.py:94-96).
-    return _rotate_distance(params, h, r, t) - params["margin"]
+    return _rotate_distance(params, h, r, t) - jax.lax.stop_gradient(params["margin"])
 
 
 def _rotate_reg(params, h, r, t):
@@ -500,6 +503,14 @@ def _hole_all_tails(params, h, r):
     return jnp.dot(c, params["ent"].T, preferred_element_type=jnp.float32)
 
 
+def _hole_all_heads(params, t, r):
+    # score(h, r, t) = Σ_k r_k Σ_m h_m t_{(m+k) mod n} = Σ_m h_m ccorr(r, t)_m
+    # — swap the roles so the head side is also one MXU matmul against the
+    # entity table (same trick as _hole_all_tails, lags taken on r).
+    c = _ccorr(params["rel"][r], params["ent"][t])
+    return jnp.dot(c, params["ent"].T, preferred_element_type=jnp.float32)
+
+
 def _hole_reg(params, h, r, t):
     return _mean_sq(params["ent"][h], params["ent"][t], params["rel"][r])
 
@@ -513,6 +524,7 @@ register(KGEModel(
     predict=lambda p, h, r, t: -_hole_score(p, h, r, t),
     regularization=_hole_reg, higher_is_better=True,
     score_all_tails=lambda p, h, r: -_hole_all_tails(p, h, r),
+    score_all_heads=lambda p, t, r: -_hole_all_heads(p, t, r),
 ))
 
 

@@ -40,4 +40,10 @@ def load() -> ctypes.CDLL:
     for name in ("getEntityTotal", "getRelationTotal", "getTrainTotal",
                  "getTestTotal", "getValidTotal", "getTripleTotal"):
         getattr(lib, name).restype = ctypes.c_int64
+    lib.importProb.argtypes = [ctypes.c_float]
+    lib.corruptRel.argtypes = [ctypes.c_int64] * 3 + [ctypes.c_bool] * 2
+    lib.corruptRel.restype = ctypes.c_int64
+    lib.corruptTypeTail.argtypes = [ctypes.c_int64] * 2
+    lib.corruptTypeTail.restype = ctypes.c_int64
+    lib.hasProb.restype = ctypes.c_int64
     return lib

@@ -46,10 +46,16 @@ struct State {
     std::vector<Triple> train;            // as read (deduped, hrt-sorted)
     std::vector<Triple> by_head;          // sorted (h, r, t)
     std::vector<Triple> by_tail;          // sorted (t, r, h) order
-    std::vector<INT> head_off, tail_off;  // CSR offsets per entity
+    std::vector<Triple> by_pair;          // sorted (h, t, r) — relation corruption
+    std::vector<INT> head_off, tail_off, pair_off;  // CSR offsets per entity
     std::vector<Triple> all_sorted;       // train+valid+test, (h, r, t) sorted
     std::vector<Triple> test_list, valid_list;
     std::vector<REAL> left_mean, right_mean;
+
+    // kl_prob.txt softmax table for probability-weighted relation corruption
+    // (Reader.h:25-50): row r holds R-1 entries for relations j != r.
+    std::vector<REAL> prob;
+    bool has_prob = false;
 
     // type constraints: per relation, sorted candidate entity lists
     std::vector<std::vector<INT>> head_type, tail_type;
@@ -65,6 +71,9 @@ bool cmp_hrt(const Triple& a, const Triple& b) {
 }
 bool cmp_trh(const Triple& a, const Triple& b) {
     return a.t != b.t ? a.t < b.t : (a.r != b.r ? a.r < b.r : a.h < b.h);
+}
+bool cmp_htr(const Triple& a, const Triple& b) {
+    return a.h != b.h ? a.h < b.h : (a.t != b.t ? a.t < b.t : a.r < b.r);
 }
 
 std::vector<Triple> read_triples(const std::string& file, INT* total_out) {
@@ -132,10 +141,89 @@ INT corrupt_unfiltered(INT tid, INT self) {
     return v < self ? v : v + 1;
 }
 
+// Relation corruption (Corrupt.h:86-163 capabilities). filter excludes every
+// relation rr with (h, rr, t) in the train set; p samples the complement
+// from the kl_prob softmax table instead of uniformly.
+INT corrupt_rel_impl(INT tid, INT h, INT t, INT r, bool p, bool filter_flag) {
+    if (!filter_flag) {
+        std::uniform_int_distribution<INT> dist(0, S.relation_total - 2);
+        INT v = dist(S.rngs[tid]);
+        return v < r ? v : v + 1;
+    }
+    // true relations of (h, t): a sorted sub-range of the by-(h,t) index
+    INT lo = S.pair_off[h], hi = S.pair_off[h + 1];
+    auto plo = std::lower_bound(S.by_pair.begin() + lo, S.by_pair.begin() + hi, t,
+                                [](const Triple& a, INT tt) { return a.t < tt; });
+    auto phi = std::upper_bound(S.by_pair.begin() + lo, S.by_pair.begin() + hi, t,
+                                [](INT tt, const Triple& a) { return tt < a.t; });
+    INT k = (INT)(phi - plo);
+    if (k >= S.relation_total) return r;  // every relation is true (degenerate)
+    INT u;
+    if (p && S.has_prob) {
+        // weighted draw over the complement: walk the prob row (R-1 entries,
+        // diagonal r removed), skipping true relations, and pick by cdf.
+        const REAL* row = S.prob.data() + (size_t)r * (S.relation_total - 1);
+        double total = 0;
+        {
+            INT ti = 0;
+            for (INT j = 0; j < S.relation_total; j++) {
+                while (ti < k && (plo + ti)->r < j) ti++;
+                bool is_true = ti < k && (plo + ti)->r == j;
+                if (is_true || j == r) continue;
+                total += row[j < r ? j : j - 1];
+            }
+        }
+        std::uniform_real_distribution<double> unif(0.0, 1.0);
+        double m = unif(S.rngs[tid]) * (total > 0 ? total : 1.0);
+        double acc = 0;
+        INT ti = 0, pick_count = 0;
+        u = -1;
+        for (INT j = 0; j < S.relation_total; j++) {
+            while (ti < k && (plo + ti)->r < j) ti++;
+            bool is_true = ti < k && (plo + ti)->r == j;
+            if (is_true) continue;   // complement index counts non-true rels
+            if (u < 0) {
+                acc += (j == r) ? 0.0 : row[j < r ? j : j - 1];
+                // r itself is in the complement only if (h,r,t) is not a
+                // train triple; its prob-table weight is 0 (no diagonal).
+                if (acc >= m || pick_count == S.relation_total - k - 1) u = pick_count;
+            }
+            pick_count++;
+        }
+        if (u < 0) u = pick_count - 1;
+    } else {
+        std::uniform_int_distribution<INT> dist(0, S.relation_total - k - 1);
+        u = dist(S.rngs[tid]);
+    }
+    // map complement index u back to a relation id: count excluded values
+    // s_i (sorted true rels) with s_i - i <= u (same trick as entities).
+    INT cl = 0, cr = k;
+    while (cl < cr) {
+        INT mid = (cl + cr) / 2;
+        if ((plo + mid)->r - mid <= u) cl = mid + 1; else cr = mid;
+    }
+    return u + cl;
+}
+
 bool find_triple(INT h, INT r, INT t) {
     Triple key{h, r, t};
     auto it = std::lower_bound(S.all_sorted.begin(), S.all_sorted.end(), key, cmp_hrt);
     return it != S.all_sorted.end() && *it == key;
+}
+
+// Type-constrained tail corruption (Corrupt.h:179-195): draw from the
+// relation's tail-type candidate set, rejecting known-true triples; after
+// 1000 rejections fall back to exact filtered corruption over all entities.
+INT corrupt_tc_tail(INT tid, INT h, INT r) {
+    if (!S.has_types || S.tail_type[r].empty())
+        return corrupt_filtered(tid, h, r, true);
+    const auto& cands = S.tail_type[r];
+    std::uniform_int_distribution<INT> dist(0, (INT)cands.size() - 1);
+    for (int loop = 0; loop < 1000; loop++) {
+        INT t = cands[dist(S.rngs[tid])];
+        if (!find_triple(h, r, t)) return t;
+    }
+    return corrupt_filtered(tid, h, r, true);
 }
 
 // ---------------------------------------------------------------------------
@@ -193,8 +281,11 @@ void importTrainFiles() {
     S.by_head = raw;  // already hrt-sorted
     S.by_tail = raw;
     std::sort(S.by_tail.begin(), S.by_tail.end(), cmp_trh);
+    S.by_pair = raw;
+    std::sort(S.by_pair.begin(), S.by_pair.end(), cmp_htr);
     build_offsets(S.by_head, S.head_off, true);
     build_offsets(S.by_tail, S.tail_off, false);
+    build_offsets(S.by_pair, S.pair_off, true);
 
     // Bernoulli statistics per relation (Reader.h:141-158 semantics).
     std::vector<double> freq(S.relation_total, 0);
@@ -230,6 +321,30 @@ void importTestFiles() {
     S.triple_total = (INT)S.all_sorted.size();
 }
 
+// kl_prob.txt: relationTotal*(relationTotal-1) whitespace-separated floats;
+// row r lists a divergence for every relation j != r. Converted per-row to
+// softmax(exp(-x/temp)) weights (Reader.h:25-50 semantics).
+void importProb(REAL temp) {
+    S.prob.assign((size_t)S.relation_total * (S.relation_total - 1), 0.0f);
+    S.has_prob = false;
+    FILE* f = fopen((S.in_path + "kl_prob.txt").c_str(), "r");
+    if (!f) { fprintf(stderr, "sampler.so: cannot open kl_prob.txt\n"); return; }
+    for (auto& v : S.prob) {
+        if (fscanf(f, "%f", &v) != 1) { fclose(f); return; }
+    }
+    fclose(f);
+    for (INT r = 0; r < S.relation_total; r++) {
+        REAL* row = S.prob.data() + (size_t)r * (S.relation_total - 1);
+        double sum = 0;
+        for (INT j = 0; j < S.relation_total - 1; j++) {
+            row[j] = (REAL)std::exp(-row[j] / temp);
+            sum += row[j];
+        }
+        for (INT j = 0; j < S.relation_total - 1; j++) row[j] = (REAL)(row[j] / sum);
+    }
+    S.has_prob = true;
+}
+
 void importTypeFiles() {
     S.head_type.assign(S.relation_total, {});
     S.tail_type.assign(S.relation_total, {});
@@ -259,8 +374,23 @@ void importTypeFiles() {
 // negRate blocks of batchSize corruptions each (Base.cpp:104-146 layout).
 void sampling(INT* batch_h, INT* batch_t, INT* batch_r, REAL* batch_y,
               INT batch_size, INT neg_rate, INT neg_rel_rate, INT mode,
-              bool filter_flag, bool /*p*/, bool /*val_loss*/) {
+              bool filter_flag, bool p, bool val_loss) {
     INT n_threads = std::max<INT>(S.work_threads, 1);
+    // setWorkThreads may legally be called after randReset/setSeed (the ABI
+    // allows any order) — make sure every thread has an rng.
+    while ((INT)S.rngs.size() < n_threads)
+        S.rngs.emplace_back(0x9e3779b97f4a7c15ull + S.rngs.size() * 7919);
+    if (val_loss) {
+        // validation-loss batches (Base.cpp:149-160): positives straight
+        // from the valid list, no corruption.
+        INT n = std::max<INT>(S.valid_total, 1);
+        for (INT b = 0; b < batch_size; b++) {
+            const Triple& tr = S.valid_list.empty() ? S.train[b % S.train_total]
+                                                    : S.valid_list[b % n];
+            batch_h[b] = tr.h; batch_t[b] = tr.t; batch_r[b] = tr.r; batch_y[b] = 1;
+        }
+        return;
+    }
     auto worker = [&](INT tid) {
         INT chunk = (batch_size + n_threads - 1) / n_threads;
         INT lef = tid * chunk, rig = std::min(batch_size, (tid + 1) * chunk);
@@ -294,12 +424,9 @@ void sampling(INT* batch_h, INT* batch_t, INT* batch_r, REAL* batch_y,
                 last += batch_size;
             }
             for (INT k = 0; k < neg_rel_rate; k++) {
-                std::uniform_int_distribution<INT> rdist(0, S.relation_total - 2);
-                INT rr = rdist(S.rngs[tid]);
-                if (rr >= tr.r) rr += 1;
                 batch_h[b + last] = tr.h;
                 batch_t[b + last] = tr.t;
-                batch_r[b + last] = rr;
+                batch_r[b + last] = corrupt_rel_impl(tid, tr.h, tr.t, tr.r, p, filter_flag);
                 batch_y[b + last] = -1;
                 last += batch_size;
             }
@@ -309,6 +436,20 @@ void sampling(INT* batch_h, INT* batch_t, INT* batch_r, REAL* batch_y,
     for (INT i = 0; i < n_threads; i++) threads.emplace_back(worker, i);
     for (auto& th : threads) th.join();
 }
+
+// Direct corruption hooks (thread 0 rng) for parity tests and external
+// callers; mirror Corrupt.h corrupt_rel / corrupt entry points.
+INT corruptRel(INT h, INT t, INT r, bool p, bool filter_flag) {
+    if (S.rngs.empty()) randReset();
+    return corrupt_rel_impl(0, h, t, r, p, filter_flag);
+}
+
+INT corruptTypeTail(INT h, INT r) {
+    if (S.rngs.empty()) randReset();
+    return corrupt_tc_tail(0, h, r);
+}
+
+INT hasProb() { return S.has_prob ? 1 : 0; }
 
 void initTest() {
     l_raw = l_filt = r_raw = r_filt = Accum{};

@@ -119,7 +119,12 @@ def link_prediction(predict_all_tails: Callable, predict_all_heads: Callable,
     test = np.asarray(test_triples, np.int32).reshape(-1, 3)
     n = len(test)
     if filter_pad is None:
-        filter_pad = 1024
+        # _filter_mask silently truncates rows longer than the pad, which
+        # would overstate filtered metrics — derive the exact bound from the
+        # CSR offsets the kg already carries (one-time host reduction).
+        filter_pad = int(max(
+            int(jnp.max(jnp.diff(kg_filter.hr_offsets))),
+            int(jnp.max(jnp.diff(kg_filter.tr_offsets))), 1))
 
     pad_n = ((n + chunk - 1) // chunk) * chunk
     padded = np.concatenate([test, np.repeat(test[-1:], pad_n - n, axis=0)], 0)

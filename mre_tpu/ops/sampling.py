@@ -66,7 +66,7 @@ def _contains(kg: DeviceKG, h: jnp.ndarray, r: jnp.ndarray, t: jnp.ndarray,
     if kg.hr_big_d.shape[0] > 0:
         overflow = cnt > pad
         n = found.shape[0]
-        k = min(n, n if n <= 8192 else max(1024, n // 16))
+        k = min(n, _overflow_slots(n, kg.hr_overflow_frac))
         _, idx = jax.lax.top_k(overflow.astype(jnp.float32), k)
         slot = jnp.maximum(kg.hr_big_index[rows[idx]], 0)
         pad_big = kg.hr_big_d.shape[1]
@@ -77,10 +77,23 @@ def _contains(kg: DeviceKG, h: jnp.ndarray, r: jnp.ndarray, t: jnp.ndarray,
     return found.reshape(shape)
 
 
+def _overflow_slots(n: int, frac: float) -> int:
+    """Tier-2 compaction width for ``n`` draws when a ``frac`` fraction of
+    uniform draws is expected to hit an oversized CSR row. Full coverage for
+    small batches; otherwise sized 4× above the expected overflow count (plus
+    a constant margin) so silently-kept tier-1 values need a >4× tail event,
+    not just a big batch (advisor finding: the old max(1024, n/16) cap could
+    silently truncate with no relation to the KG's actual overflow mass)."""
+    if n <= 8192:
+        return n
+    return max(1024, n // 16, min(n, int(n * frac * 4) + 128))
+
+
 def _complement_draw(key: jax.Array, values: jnp.ndarray, offsets: jnp.ndarray,
                      big_index: jnp.ndarray, big_d: jnp.ndarray,
                      rows: jnp.ndarray, n_total: int, pad: int,
-                     overflow_slots: int | None = None) -> jnp.ndarray:
+                     overflow_slots: int | None = None,
+                     overflow_frac: float = 0.0) -> jnp.ndarray:
     """Draw one uniform sample per row from {0..n_total-1} \\ true_set(row).
 
     Exact, rejection-free, two tiers:
@@ -106,7 +119,7 @@ def _complement_draw(key: jax.Array, values: jnp.ndarray, offsets: jnp.ndarray,
     sample = (u + jnp.sum(d <= u[:, None], axis=-1).astype(u.dtype)).astype(jnp.int32)
 
     return _resolve_overflow(sample, u, rows, cnt > pad, big_index, big_d,
-                             overflow_slots)
+                             overflow_slots, overflow_frac)
 
 
 def corrupt_tails(key: jax.Array, kg: DeviceKG, h: jnp.ndarray, r: jnp.ndarray,
@@ -152,22 +165,23 @@ def _gather_row_d(values, offsets, rows, n_total, pad):
 
 
 def _resolve_overflow(sample, u, rows, overflow, big_index, big_d,
-                      overflow_slots: int | None = None):
+                      overflow_slots: int | None = None,
+                      overflow_frac: float = 0.0):
     """Tier-2: fix the draws whose row exceeds the pad, via a top_k
     compaction against the dense big-row matrix.
 
     ``overflow_slots`` bounds the compaction width. Default: full coverage
-    for batches ≤ 8192 draws (exactness guaranteed), else max(1024, n/16)
-    slots — overflow draws are bounded by #big-row hits, which is orders of
-    magnitude below n/16 on real KGs; any draw past the cap keeps its
-    tier-1 value (filtered against the first ``pad`` true candidates only).
+    for batches ≤ 8192 draws (exactness guaranteed), else sized from the
+    KG's measured overflow mass (``overflow_frac``, see ``_overflow_slots``);
+    any draw past the cap keeps its tier-1 value (filtered against the first
+    ``pad`` true candidates only).
     """
     if big_d.shape[0] == 0:
         return sample
     flat = sample.reshape(-1)
     n = flat.shape[0]
     if overflow_slots is None:
-        overflow_slots = n if n <= 8192 else max(1024, n // 16)
+        overflow_slots = _overflow_slots(n, overflow_frac)
     u_f = u.reshape(-1)
     rows_f = rows.reshape(-1)
     over_f = overflow.reshape(-1)
@@ -223,9 +237,11 @@ def corrupt_batch(key: jax.Array, kg: DeviceKG, h: jnp.ndarray, r: jnp.ndarray,
     rows_t_b = jnp.broadcast_to(rows_t[:, None], (B, n_neg))
     rows_h_b = jnp.broadcast_to(rows_h[:, None], (B, n_neg))
     sample = _resolve_overflow(sample, u, rows_t_b, over_t,
-                               kg.hr_big_index, kg.hr_big_d)
+                               kg.hr_big_index, kg.hr_big_d,
+                               overflow_frac=kg.hr_overflow_frac)
     sample = _resolve_overflow(sample, u, rows_h_b, over_h,
-                               kg.tr_big_index, kg.tr_big_d)
+                               kg.tr_big_index, kg.tr_big_d,
+                               overflow_frac=kg.tr_overflow_frac)
 
     neg_t = jnp.where(side, sample, t[:, None])
     neg_h = jnp.where(side, h[:, None], sample)
@@ -247,13 +263,37 @@ def sample_training_batch(key: jax.Array, kg: DeviceKG, batch_size: int, n_neg: 
 
 
 def corrupt_relations(key: jax.Array, kg: DeviceKG, r: jnp.ndarray,
-                      n_neg: int = 1) -> jnp.ndarray:
-    """Uniform corrupted relations excluding the true r (the unfiltered
-    branch of base/Corrupt.h:86-94; the probability-weighted and
-    (h,t)-filtered variants are provided by the native sampler). [B, n_neg]."""
+                      n_neg: int = 1, h: jnp.ndarray | None = None,
+                      t: jnp.ndarray | None = None,
+                      filter_flag: bool = True) -> jnp.ndarray:
+    """Corrupted relations per positive, [B, n_neg].
+
+    With ``h``/``t`` given and ``filter_flag`` (base/Corrupt.h:95-134): the
+    negatives exclude *every* relation rr with (h, rr, t) a true triple —
+    exact complement draw over the by-(h, t) sorted relation index, the same
+    rejection-free index-shift used for entities. Otherwise the unfiltered
+    branch (Corrupt.h:86-94): uniform excluding only the positive r.
+    (The probability-weighted kl_prob variant lives in the native sampler;
+    it needs a host-side prob table.)"""
     B = r.shape[0]
-    v = jax.random.randint(key, (B, n_neg), 0, kg.n_relations - 1, dtype=jnp.int32)
-    return jnp.where(v < r[:, None], v, v + 1)
+    if h is None or t is None or not filter_flag or kg.pair_keys is None:
+        v = jax.random.randint(key, (B, n_neg), 0, kg.n_relations - 1, dtype=jnp.int32)
+        return jnp.where(v < r[:, None], v, v + 1)
+
+    keys = h.astype(jnp.int32) * kg.n_entities + t.astype(jnp.int32)
+    lo = jnp.searchsorted(kg.pair_keys, keys, side="left").astype(jnp.int32)
+    hi = jnp.searchsorted(kg.pair_keys, keys, side="right").astype(jnp.int32)
+    k = hi - lo                                        # [B] true-rel counts
+    pad = max(int(kg.pair_pad), 1)
+    lane = jnp.arange(pad, dtype=jnp.int32)
+    gidx = jnp.minimum(lo[:, None] + lane[None, :], kg.pair_rels.shape[0] - 1)
+    rels = kg.pair_rels[gidx]                          # [B, pad] sorted rels
+    valid = lane[None, :] < k[:, None]
+    d = jnp.where(valid, rels - lane[None, :], kg.n_relations + 1)  # s_i − i
+    u = jax.random.randint(key, (B, n_neg), 0,
+                           jnp.maximum(kg.n_relations - k, 1)[:, None])
+    shift = jnp.sum(d[:, None, :] <= u[:, :, None], axis=-1)
+    return (u + shift).astype(jnp.int32)
 
 
 def corrupt_within_nodes(key: jax.Array, kg: DeviceKG, n_id: jnp.ndarray,

@@ -32,9 +32,10 @@ from mre_tpu.core.metrics import MetricLogger, RollingMean
 from mre_tpu.core import checkpoint as ckpt
 
 
-def torch_adagrad(learning_rate: float) -> optax.GradientTransformation:
+def torch_adagrad(learning_rate: float, lr_decay: float = 0.0) -> optax.GradientTransformation:
     """Adagrad with torch.optim.Adagrad semantics: accumulator starts at 0
-    and eps (1e-10) is added OUTSIDE the sqrt — update = g / (√ν + 1e-10).
+    and eps (1e-10) is added OUTSIDE the sqrt — update = g / (√ν + 1e-10),
+    with the per-step learning rate lr / (1 + (step−1)·lr_decay).
 
     optax.adagrad uses rsqrt(ν + 1e-7): with the ~1e-6 per-component
     gradients of mean-reduced KGE losses over large embedding tables that
@@ -44,15 +45,18 @@ def torch_adagrad(learning_rate: float) -> optax.GradientTransformation:
     """
 
     def init_fn(params):
-        return optax.ScaleByRssState(
-            sum_of_squares=jax.tree_util.tree_map(jnp.zeros_like, params))
+        return (jnp.zeros([], jnp.int32), optax.ScaleByRssState(
+            sum_of_squares=jax.tree_util.tree_map(jnp.zeros_like, params)))
 
     def update_fn(updates, state, params=None):
+        count, rss = state
+        # torch: clr = lr / (1 + (step-1)*lr_decay); count is pre-increment.
+        clr = learning_rate / (1.0 + count.astype(jnp.float32) * lr_decay)
         nu = jax.tree_util.tree_map(lambda g, t: t + g * g, updates,
-                                    state.sum_of_squares)
+                                    rss.sum_of_squares)
         scaled = jax.tree_util.tree_map(
-            lambda g, t: -learning_rate * g / (jnp.sqrt(t) + 1e-10), updates, nu)
-        return scaled, optax.ScaleByRssState(sum_of_squares=nu)
+            lambda g, t: -clr * g / (jnp.sqrt(t) + 1e-10), updates, nu)
+        return scaled, (count + 1, optax.ScaleByRssState(sum_of_squares=nu))
 
     return optax.GradientTransformation(init_fn, update_fn)
 
@@ -60,7 +64,12 @@ def torch_adagrad(learning_rate: float) -> optax.GradientTransformation:
 def make_optimizer(opt_method: str, lr: float, lr_decay: float = 0.0, weight_decay: float = 0.0):
     opt_method = opt_method.lower()
     if opt_method == "adagrad":
-        tx = torch_adagrad(lr)
+        tx = torch_adagrad(lr, lr_decay)
+    elif lr_decay:
+        # Only torch.optim.Adagrad consumes lr_decay in the reference
+        # (OpenKE config/Trainer.py); silently ignoring it would train a
+        # different schedule than the recipe asked for.
+        raise ValueError(f"lr_decay is only supported for adagrad, not {opt_method}")
     elif opt_method == "adadelta":
         tx = optax.adadelta(lr)
     elif opt_method == "adam":
@@ -91,6 +100,8 @@ class KGETrainerConfig:
     train_times: int = 1000         # epochs
     nbatches: int = 100             # steps per epoch (OpenKE TrainDataLoader)
     seed: int = 0
+    lr_decay: float = 0.0           # torch.optim.Adagrad lr_decay
+    init_kwargs: dict = dataclasses.field(default_factory=dict)  # extra model.init kwargs
 
 
 class KGETrainer:
@@ -104,8 +115,9 @@ class KGETrainer:
         self.kg = DeviceKG.from_table(table)
 
         key = jax.random.key(config.seed)
-        self.params = self.model.init(key, table.n_entities, table.n_relations, dim=config.dim)
-        self.tx = make_optimizer(config.opt_method, config.alpha)
+        self.params = self.model.init(key, table.n_entities, table.n_relations,
+                                      dim=config.dim, **config.init_kwargs)
+        self.tx = make_optimizer(config.opt_method, config.alpha, config.lr_decay)
         self.opt_state = self.tx.init(self.params)
         self._step = self._build_step()
         self._rng = jax.random.key(config.seed + 1)

@@ -100,3 +100,122 @@ def test_parameter_transfer_transe_to_transr():
     np.testing.assert_array_equal(np.asarray(tr.params["ent"]), np.asarray(te.params["ent"]))
     np.testing.assert_array_equal(np.asarray(tr.params["rel"]), np.asarray(te.params["rel"]))
     assert "mat" in tr.params
+
+
+@pytest.fixture(scope="module")
+def native_lib(bench_dir):
+    from mre_tpu.openke import native
+
+    lib = native.load()
+    lib.setInPath(bench_dir.encode())
+    lib.setWorkThreads(2)
+    lib.importTrainFiles()
+    lib.importTestFiles()
+    lib.setSeed(11)
+    return lib
+
+
+def test_native_corrupt_rel_filtered(bench_dir, native_lib):
+    """corrupt_rel excludes every relation forming a true (h, ?, t) train
+    triple (base/Corrupt.h:95-134 semantics)."""
+    from mre_tpu.openke.data import read_benchmark
+
+    bench = read_benchmark(bench_dir)
+    train = {tuple(x) for x in bench["train"].tolist()}
+    pairs_rels = {}
+    for h, r, t in bench["train"].tolist():
+        pairs_rels.setdefault((h, t), set()).add(r)
+    # pick a pair with at least one true relation
+    (h, t), true_rels = max(pairs_rels.items(), key=lambda kv: len(kv[1]))
+    r = next(iter(true_rels))
+    seen = set()
+    for _ in range(300):
+        rr = native_lib.corruptRel(h, t, r, False, True)
+        assert (h, rr, t) not in train
+        seen.add(int(rr))
+    # complement coverage: every non-true relation is reachable
+    complement = set(range(bench["n_relations"])) - true_rels
+    assert seen == complement
+    # unfiltered: only r itself is excluded
+    seen_u = {int(native_lib.corruptRel(h, t, r, False, False)) for _ in range(300)}
+    assert r not in seen_u and seen_u <= set(range(bench["n_relations"]))
+
+
+def test_native_import_prob_weighted_rel(bench_dir, native_lib):
+    """kl_prob.txt → softmax weights drive the p=true corruption branch
+    (Reader.h:25-50 + Corrupt.h:104-134)."""
+    from mre_tpu.openke.data import read_benchmark
+
+    bench = read_benchmark(bench_dir)
+    R = bench["n_relations"]
+    # strong preference for the lowest-id non-true relation: divergence 0
+    # for the first column, 50 elsewhere → softmax mass ≈ 1 on one relation
+    with open(os.path.join(bench_dir, "kl_prob.txt"), "w") as f:
+        for i in range(R):
+            f.write(" ".join("0.0" if j == 0 else "50.0" for j in range(R - 1)) + "\n")
+    native_lib.importProb(1.0)
+    assert native_lib.hasProb() == 1
+
+    train = {tuple(x) for x in bench["train"].tolist()}
+    h, r, t = bench["train"][0].tolist()
+    draws = [int(native_lib.corruptRel(h, t, r, True, True)) for _ in range(200)]
+    assert all((h, rr, t) not in train for rr in draws)
+    # prob row r column 0 maps to relation 0 (or 1 if r == 0); unless that
+    # relation is a true one for (h, t), nearly all mass lands there.
+    fav = 0 if r != 0 else 1
+    if all((h2, rr2, t2) != (h, fav, t) for (h2, rr2, t2) in train):
+        assert draws.count(fav) >= 190
+
+
+def test_native_corrupt_type_tail(bench_dir, native_lib):
+    """Type-constrained tail corruption draws from tail_type[r] with
+    rejection, falling back to filtered corruption (Corrupt.h:179-195)."""
+    from mre_tpu.openke.data import read_benchmark, read_type_constraints
+
+    native_lib.importTypeFiles()
+    bench = read_benchmark(bench_dir)
+    tc = read_type_constraints(bench_dir, bench["n_relations"], bench["n_entities"])
+    train = {tuple(x) for x in bench["train"].tolist()}
+    h, r, t = bench["train"][1].tolist()
+    tail_ok = set(np.nonzero(tc[1][r])[0].tolist())
+    for _ in range(100):
+        tt = int(native_lib.corruptTypeTail(h, r))
+        assert (h, r, tt) not in train
+        # either from the type set or the filtered fallback (valid entity)
+        assert tt in tail_ok or 0 <= tt < bench["n_entities"]
+
+
+def test_native_val_loss_batch(bench_dir, native_lib):
+    """val_loss=true fills the batch with validation triples, label +1
+    (Base.cpp:149-160)."""
+    from mre_tpu.openke.data import read_benchmark
+
+    bench = read_benchmark(bench_dir)
+    n = len(bench["valid"])
+    bh = np.zeros(n, np.int64); bt = np.zeros(n, np.int64)
+    br = np.zeros(n, np.int64); by = np.zeros(n, np.float32)
+    native_lib.sampling(bh.ctypes.data, bt.ctypes.data, br.ctypes.data,
+                        by.ctypes.data, n, 0, 0, 0, True, False, True)
+    assert (by == 1).all()
+    valid = {tuple(x) for x in bench["valid"].tolist()}
+    got = set(zip(bh.tolist(), br.tolist(), bt.tolist()))
+    assert got <= valid and len(got) == len(valid)
+
+
+def test_native_workthreads_resize_after_seed(bench_dir):
+    """setWorkThreads after setSeed must not read past the rng vector
+    (advisor finding: sampler.cpp:264)."""
+    from mre_tpu.openke import native
+
+    lib = native.load()
+    lib.setInPath(bench_dir.encode())
+    lib.setWorkThreads(1)
+    lib.importTrainFiles()
+    lib.setSeed(3)
+    lib.setWorkThreads(8)          # more threads than seeded rngs
+    n = 64
+    bh = np.zeros(n * 3, np.int64); bt = np.zeros(n * 3, np.int64)
+    br = np.zeros(n * 3, np.int64); by = np.zeros(n * 3, np.float32)
+    lib.sampling(bh.ctypes.data, bt.ctypes.data, br.ctypes.data,
+                 by.ctypes.data, n, 2, 0, 0, True, False, False)
+    assert (by[:n] == 1).all() and (by[n:] == -1).all()

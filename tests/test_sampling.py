@@ -95,3 +95,26 @@ def test_corrupt_relations_excludes_true(tiny_kg, dkg):
     assert neg.shape == (50, 8)
     assert (neg >= 0).all() and (neg < tiny_kg.n_relations).all()
     assert not (neg == np.asarray(r)[:, None]).any()
+
+
+def test_corrupt_relations_filtered_vs_bruteforce(tiny_kg, dkg):
+    """The (h, t)-filtered relation corruption never yields a relation that
+    forms a true triple, and covers the whole complement
+    (base/Corrupt.h:95-134 semantics, on device)."""
+    import jax
+    import jax.numpy as jnp
+
+    tri = tiny_kg.triples[:40]
+    h, r, t = (jnp.asarray(tri[:, i]) for i in range(3))
+    neg = np.asarray(sampling.corrupt_relations(
+        jax.random.key(1), dkg, r, n_neg=32, h=h, t=t))
+    assert neg.shape == (40, 32)
+    is_true = tiny_kg.contains(
+        np.repeat(tri[:, 0], 32), neg.ravel(), np.repeat(tri[:, 2], 32))
+    assert not is_true.any()
+    # coverage: for the first positive, all non-true relations appear
+    pair_true = {rr for (hh, rr, tt) in tiny_kg.triples.tolist()
+                 if hh == int(tri[0, 0]) and tt == int(tri[0, 2])}
+    many = np.asarray(sampling.corrupt_relations(
+        jax.random.key(2), dkg, r[:1], n_neg=512, h=h[:1], t=t[:1]))
+    assert set(many.ravel().tolist()) == set(range(tiny_kg.n_relations)) - pair_true

@@ -132,3 +132,19 @@ def test_precomputed_pairs_match_call_path(setup):
                                nbr, pairs, left, right,
                                method=zsl.extractor.embed_pairs_precomputed)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(q_g), rtol=2e-4, atol=2e-5)
+
+
+def test_zero_shot_tie_rank_is_pessimistic():
+    """Tie semantics match the reference's argsort(scores)[::-1]
+    (zsl_module.py:705-706): equal scores rank the true candidate last."""
+    import jax.numpy as jnp
+
+    from mre_tpu.eval.zero_shot import _score_and_rank
+
+    # 1 query, 4 candidates; make candidates 0..2 identical embeddings
+    # (identical cosine scores) and candidate 3 orthogonal-negative.
+    emb = jnp.asarray([[[1.0, 0.0], [1.0, 0.0], [1.0, 0.0], [-1.0, 0.0]]])
+    rel = jnp.asarray([[1.0, 0.0]])
+    mask = jnp.ones((1, 4), bool)
+    rank = int(_score_and_rank(emb, rel, mask)[0])
+    assert rank == 3  # two tied non-true candidates count ahead of the true
