@@ -29,6 +29,8 @@ def main(argv=None):
     parser.add_argument("--train_times", type=int, default=200)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--out", default="")
+    parser.add_argument("--compute_dtype", default="float32",
+                        help="M3AE matmul dtype; bfloat16 validates the TPU MXU path")
     args = parser.parse_args(argv)
 
     from mre_tpu.data.fixtures import write_learnable_zsl_dataset
@@ -54,15 +56,20 @@ def main(argv=None):
         model_type="tiny4", emb_dim=32, noise_dim=8, patch_size=8,
         image_mask_ratio=0.5, text_mask_ratio=0.5,
         batch_size=8, sample_size=4, neg_ent=8,
-        lr_maximum=3e-4, epochs=args.epochs, seed=args.seed))
+        lr_maximum=3e-4, epochs=args.epochs, seed=args.seed,
+        compute_dtype=args.compute_dtype))
 
     print(f"dataset at {path}: {table.n_entities} entities, "
-          f"{table.n_relations} relations, {table.n_triples} train triples",
-          flush=True)
+          f"{table.n_relations} relations, {table.n_triples} train triples "
+          f"(compute_dtype={args.compute_dtype})", flush=True)
+    import time
     for epoch in range(args.epochs):
+        t0 = time.time()
         info = fusion.train_epoch()
+        dt = (time.time() - t0) / max(fusion.steps_per_epoch, 1)
         print(f"fusion epoch {epoch}: loss {info['loss']:.3f} "
-              f"gcn {info['gcn_loss']:.3f} text {info['text_loss']:.3f}", flush=True)
+              f"gcn {info['gcn_loss']:.3f} text {info['text_loss']:.3f} "
+              f"({dt * 1e3:.0f} ms/step)", flush=True)
 
     zsl = ZSLModule(path, data["r2id"], data["e2id"], ZSLConfig(
         emb_dim=32, noise_dim=8, test_sample=8, max_neighbor=20,

@@ -13,6 +13,8 @@ def read_options(argv=None):
     parser.add_argument("--dataset", default="FB15K-237-ZS", type=str)
     parser.add_argument("--seed", default=192, type=int)
     parser.add_argument("--model_type", default="small", type=str)
+    parser.add_argument("--compute_dtype", default="float32", type=str,
+                        help="M3AE matmul dtype; bfloat16 targets the TPU MXU")
     parser.add_argument("--saved_model_name", default="mre_tpu_small", type=str)
     parser.add_argument("--pretrained_model_name", default="", type=str)
     parser.add_argument("--evaluate", action="store_true")
@@ -73,6 +75,9 @@ def read_options(argv=None):
     parser.add_argument("--output_dir", default="./runs", type=str)
     parser.add_argument("--profile_dir", default="", type=str,
                         help="capture a jax.profiler trace of the first epoch")
+    parser.add_argument("--distill_unseen", action="store_true",
+                        help="evaluate unseen relations through the DistillModel predictor")
+    parser.add_argument("--distill_steps", default=2000, type=int)
     parser.add_argument("--resume", action="store_true",
                         help="auto-resume from the latest checkpoint in saved_models/<dataset>")
 

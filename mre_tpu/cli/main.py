@@ -53,7 +53,8 @@ def build_pipeline(args):
         text_all_token_loss=args.text_all_token_loss,
         lr_maximum=args.lr_maximum, lr_minimum=args.lr_minimum,
         lr_warmup_epochs=args.lr_warmup_epochs, epochs=args.epochs,
-        seed=args.seed, text_only=args.text_only)
+        seed=args.seed, text_only=args.text_only,
+        compute_dtype=getattr(args, "compute_dtype", "float32"))
     fusion = FusionTrainer(table, store, fusion_cfg)
 
     if args.pretrained_m3ae:
@@ -112,7 +113,13 @@ def run_zsl_round(args, fusion, zsl, logger, dump_embeddings: bool = False):
     zsl.update_embed(ent_embs, rel_embs)
     zsl.train_gan(fusion)
     zsl.save(args.save_path, fusion)
-    result = zsl.evaluate(fusion, mode="test")
+    predict_unseen = None
+    if getattr(args, "distill_unseen", False):
+        # route unseen relations through the distilled description→embedding
+        # predictor (DistillModel.py; utils.py generate_rel_embed 'unseen')
+        predict_unseen, _ = fusion.train_distill(
+            rel_embs, steps=getattr(args, "distill_steps", 2000))
+    result = zsl.evaluate(fusion, mode="test", predict_unseen=predict_unseen)
     logger.log({f"zsl_{k}": v for k, v in result.items() if isinstance(v, (int, float))})
     return result
 

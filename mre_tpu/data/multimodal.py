@@ -193,8 +193,14 @@ class MultimodalStore:
         out = np.empty((len(node_ids), cfg.image_size, cfg.image_size, 3), np.float32)
         mean = np.asarray(self.image_mean, np.float32)
         std = np.asarray(self.image_std, np.float32)
-        # per-slot RNG seeds drawn up front: thread-safe and order-deterministic
-        seeds = self._rng.integers(0, 2**63, size=len(node_ids))
+        # per-slot RNG seeds drawn up front: thread-safe and order-deterministic.
+        # Eval batches derive seeds from the entity id instead, so repeated
+        # eval sweeps are bit-identical (the reference re-augments at eval —
+        # a nondeterminism we deliberately avoid).
+        if train:
+            seeds = self._rng.integers(0, 2**63, size=len(node_ids))
+        else:
+            seeds = node_ids.astype(np.int64) * 2654435761 + self.config.seed
 
         def work(k):
             i = node_ids[k]

@@ -47,6 +47,7 @@ def unified_config(model_type: str = "small", updates: dict | None = None) -> Co
         leaky_slope=0.2,
         contrastive=True,
         norm_rel_emb=False,
+        compute_dtype="float32",     # forwarded to the M3AE stack (bf16 MXU)
     ))
     if updates:
         cfg.update(updates)
@@ -62,7 +63,8 @@ class UnifiedModel(nn.Module):
         cfg = Config(self.config)
         m3ae_cfg = m3ae_config(cfg.model_type, dict(
             image_mask_ratio=cfg.image_mask_ratio,
-            text_mask_ratio=cfg.text_mask_ratio))
+            text_mask_ratio=cfg.text_mask_ratio,
+            compute_dtype=cfg.get("compute_dtype", "float32")))
         self.reduced_dim = m3ae_cfg.emb_dim
         self.dim = cfg.emb_dim
         self.m3ae = M3AE(

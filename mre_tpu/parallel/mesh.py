@@ -63,3 +63,27 @@ def shard_batch(mesh: Mesh, tree):
 
 def pad_to_multiple(n: int, k: int) -> int:
     return ((n + k - 1) // k) * k
+
+
+def shard_transformer_ffn(params, mesh: Mesh):
+    """Megatron-style tensor parallelism for the transformer FFN blocks:
+    ``fc1`` kernels [D, 4D] shard their output columns over ``model`` (bias
+    too), ``fc2`` kernels [4D, D] shard their input rows — the contraction
+    then reduces over ``model`` and XLA inserts the all-reduce on ICI.
+    Everything else is replicated. Works on any pytree containing
+    TransformerMLP params (named fc1/fc2, models/transformer.py)."""
+
+    def assign(path, x):
+        keys = [getattr(k, "key", str(k)) for k in path]
+        tail = "/".join(str(k) for k in keys[-2:])
+        if tail == "fc1/kernel" and x.ndim == 2 and x.shape[1] % mesh.shape[MODEL_AXIS] == 0:
+            spec = P(None, MODEL_AXIS)
+        elif tail == "fc1/bias" and x.ndim == 1 and x.shape[0] % mesh.shape[MODEL_AXIS] == 0:
+            spec = P(MODEL_AXIS)
+        elif tail == "fc2/kernel" and x.ndim == 2 and x.shape[0] % mesh.shape[MODEL_AXIS] == 0:
+            spec = P(MODEL_AXIS, None)
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(assign, params)

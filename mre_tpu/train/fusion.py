@@ -82,6 +82,7 @@ class FusionConfig:
     epochs: int = 200
     seed: int = 192
     text_only: bool = False
+    compute_dtype: str = "float32"   # M3AE matmul dtype ("bfloat16" → MXU)
 
 
 class FusionTrainer:
@@ -101,6 +102,7 @@ class FusionTrainer:
                 patch_size=cfg.patch_size,
                 image_mask_ratio=cfg.image_mask_ratio,
                 text_mask_ratio=cfg.text_mask_ratio,
+                compute_dtype=cfg.compute_dtype,
                 contrastive=cfg.contrastive_loss_weight > 0 and not cfg.text_only)))
 
         edge_index, edge_type = edges_from_tasks(table.triples)
@@ -318,15 +320,36 @@ class FusionTrainer:
 
     # -- full-graph embedding generation (module/utils.py:479-546) --------
 
-    def generate_ent_embeddings(self, batch_size: int = 512) -> jnp.ndarray:
-        """All-entity M3AE cls pass (chunked) + one full-graph RGCN sweep."""
+    def generate_ent_embeddings(self, batch_size: int = 512, mesh=None) -> jnp.ndarray:
+        """All-entity M3AE cls pass (chunked) + one full-graph RGCN sweep.
+
+        With a multi-device ``mesh`` (or ``self.mesh``), the entity sweep is
+        sharded: batches over ``data``, M3AE FFN kernels tensor-parallel over
+        ``model`` (parallel.mesh.shard_transformer_ffn) — the full-entity
+        sweep is the fusion side's big eval cost (module/utils.py:479-527)."""
         cfg = self.cfg
         n = self.table.n_entities
+        mesh = mesh if mesh is not None else self.mesh
+        use_mesh = mesh is not None and mesh.size > 1
+        if use_mesh:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from mre_tpu.parallel import mesh as pmesh
+
+            params = pmesh.shard_transformer_ffn(self.params, mesh)
+            spectral = jax.device_put(self.spectral, NamedSharding(mesh, P()))
+            batch_sh = pmesh.batch_sharding(mesh)
+            put = lambda x: jax.device_put(x, batch_sh) \
+                if x.shape[0] % mesh.shape[pmesh.DATA_AXIS] == 0 \
+                else jax.device_put(x, NamedSharding(mesh, P()))
+        else:
+            params, spectral = self.params, self.spectral
+            put = jnp.asarray
 
         @jax.jit
-        def encode(params, image_patches, text, pad):
+        def encode(params, spectral, image_patches, text, pad):
             cls_x, _ = self.model.apply(
-                {"params": params, "spectral": self.spectral},
+                {"params": params, "spectral": spectral},
                 method=lambda mdl: mdl.m3ae.forward_representation(
                     image_patches, text, pad, deterministic=True))
             return cls_x[:, 0, :]
@@ -337,10 +360,10 @@ class FusionTrainer:
             pad_n = batch_size - len(ids)
             ids_p = np.pad(ids, (0, pad_n), constant_values=ids[-1])
             mm = self.store.generate_batch(ids_p, [], train=False)
-            patches = extract_patches(jnp.asarray(mm["image"]), cfg.patch_size) \
+            patches = put(extract_patches(np.asarray(mm["image"]), cfg.patch_size)) \
                 if "image" in mm else None
-            out = encode(self.params, patches, jnp.asarray(mm["text"]),
-                         jnp.asarray(mm["text_padding_mask"]))
+            out = encode(params, spectral, patches, put(np.asarray(mm["text"])),
+                         put(np.asarray(mm["text_padding_mask"])))
             reps.append(np.asarray(out)[:len(ids)])
         reps = jnp.asarray(np.concatenate(reps))
 

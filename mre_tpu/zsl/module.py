@@ -522,7 +522,11 @@ class ZSLModule:
     # -- evaluation (zsl_module.py:635-745) ----------------------------------
 
     def evaluate(self, fusion_trainer, mode: str = "test", verbose: bool = True,
-                 query_chunk: int = 64):
+                 query_chunk: int = 64, predict_unseen=None):
+        """Zero-shot ranking. ``predict_unseen`` (optional) routes unseen
+        relation vectors through the DistillModel predictor
+        (generate_rel_embed(..., rel_type='unseen'), module/utils.py:529-546
+        + DistillModel.py) instead of the WGAN generator head."""
         test_candidates = loaders.load_candidates(self.data_path, mode)
 
         # precompute per-entity neighbor encodings once — removes the
@@ -538,11 +542,15 @@ class ZSLModule:
                 pairs, left, right,
                 method=self.extractor.embed_pairs_precomputed)
 
-        def gen_rel_vecs(rel_name):
-            rel_id = self.r2id[rel_name]
-            rel_ids = np.full(self.cfg.test_sample, rel_id)
-            return self._generate(fusion_trainer, fusion_trainer.params,
-                                  rel_ids, self.test_noises)
+        if predict_unseen is not None:
+            def gen_rel_vecs(rel_name):
+                return np.asarray(predict_unseen([self.r2id[rel_name]]))
+        else:
+            def gen_rel_vecs(rel_name):
+                rel_id = self.r2id[rel_name]
+                rel_ids = np.full(self.cfg.test_sample, rel_id)
+                return self._generate(fusion_trainer, fusion_trainer.params,
+                                      rel_ids, self.test_noises)
 
         return evaluate_zero_shot(
             test_candidates, self.symbols.symbol2id, self.e2id, self.r2id,

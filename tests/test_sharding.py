@@ -59,3 +59,16 @@ def test_fusion_trainer_with_mesh():
     trainer.mesh = pmesh.make_mesh(n_data=8)
     info = trainer.train_step(next(iter(trainer.sampler)))
     assert np.isfinite(info["loss"])
+
+
+def test_fusion_ffn_tensor_parallel_matches_replicated():
+    """generate_ent_embeddings with Megatron-style FFN sharding over the
+    model axis must agree with the replicated sweep."""
+    import __graft_entry__ as g
+    from mre_tpu.parallel import mesh as pmesh
+
+    trainer = g._tiny_setup()
+    mesh = pmesh.make_mesh(n_data=4, n_model=2)
+    emb_tp = np.asarray(trainer.generate_ent_embeddings(batch_size=8, mesh=mesh))
+    emb_1d = np.asarray(trainer.generate_ent_embeddings(batch_size=8))
+    np.testing.assert_allclose(emb_tp, emb_1d, rtol=2e-4, atol=2e-5)
