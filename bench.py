@@ -27,7 +27,7 @@ N_SYMBOLS = 14208 + 235
 N_ENTS = 14208
 C = 301                    # candidates per query (true + 300)
 Q_DEVICE = 2048            # queries timed on device
-Q_BASELINE = 12            # queries timed on the torch-cpu reference path
+Q_BASELINE = 64            # queries timed on the torch-cpu reference path
 TEST_SAMPLE = 20
 
 
@@ -102,7 +102,28 @@ def run_device(symbols, connections, degrees, rel_vecs, pairs, ents):
         t0 = time.perf_counter()
         run_all()
         best = min(best, time.perf_counter() - t0)
-    return Q_DEVICE * C / best
+
+    # end-to-end variant: host→device transfers of every chunk input inside
+    # the timed region (no pre-staging, no overlap). On a relay-attached
+    # chip this is bounded by the tunnel's transfer bandwidth, not the TPU —
+    # reported alongside for transparency.
+    def run_all_e2e():
+        ranks = []
+        for i in range(0, Q_DEVICE, chunk):
+            p = jnp.asarray(pairs[i:i + chunk].reshape(-1, 2))
+            l = jnp.asarray(ents[i:i + chunk, :, 0].reshape(-1))
+            r = jnp.asarray(ents[i:i + chunk, :, 1].reshape(-1))
+            ranks.append(score_chunk(p, l, r, rel_vecs_d))
+        return jax.block_until_ready(jnp.concatenate(ranks))
+
+    run_all_e2e()
+    best_e2e = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run_all_e2e()
+        best_e2e = min(best_e2e, time.perf_counter() - t0)
+    log(f"device e2e (unoverlapped transfers): {Q_DEVICE * C / best_e2e:,.0f} triples/sec")
+    return Q_DEVICE * C / best, Q_DEVICE * C / best_e2e
 
 
 def run_torch_baseline(symbols, connections, degrees, rel_vecs, pairs, ents):
@@ -151,6 +172,10 @@ def run_torch_baseline(symbols, connections, degrees, rel_vecs, pairs, ents):
         rd = torch.tensor([float(deg_t[i]) for i in idx[:, 1]])
         return lc, ld, rc, rd
 
+    # warmup (thread-pool spinup / first-call allocs), excluded from timing
+    with torch.no_grad():
+        _ = model(torch.from_numpy(pairs[0].astype(np.int64)), meta_for(ents[0]))
+
     t0 = time.perf_counter()
     with torch.no_grad():
         for q in range(Q_BASELINE):
@@ -169,7 +194,7 @@ def run_torch_baseline(symbols, connections, degrees, rel_vecs, pairs, ents):
 
 def main():
     workload = make_workload()
-    throughput = run_device(*workload)
+    throughput, throughput_e2e = run_device(*workload)
     log(f"device throughput: {throughput:,.0f} triples/sec")
     try:
         baseline = run_torch_baseline(*workload)
@@ -177,12 +202,17 @@ def main():
         vs = throughput / baseline
     except Exception as e:  # torch unavailable → report raw throughput
         log(f"baseline failed: {e}")
-        vs = float("nan")
+        baseline, vs = None, float("nan")
     print(json.dumps({
         "metric": "zsl_candidate_ranking_throughput",
         "value": round(throughput, 1),
         "unit": "triples/sec",
         "vs_baseline": round(vs, 2) if vs == vs else None,
+        # disclosure fields: sequential host→device transfers included /
+        # baseline measurement size
+        "value_unoverlapped_transfers": round(throughput_e2e, 1),
+        "baseline_triples_per_sec": round(baseline, 1) if baseline else None,
+        "baseline_queries": Q_BASELINE,
     }))
 
 
