@@ -76,7 +76,7 @@ class TrainDataLoader:
 
     def __init__(self, in_path="./", nbatches=100, threads=8, sampling_mode="normal",
                  bern_flag=0, filter_flag=1, neg_ent=1, neg_rel=0,
-                 batch_size=None, backend="native", seed=None):
+                 batch_size=None, backend="native", seed=None, p=False):
         self.in_path = in_path
         self.nbatches = nbatches
         self.sampling_mode = sampling_mode
@@ -85,6 +85,7 @@ class TrainDataLoader:
         self.neg_ent = neg_ent
         self.neg_rel = neg_rel
         self.backend = backend
+        self.p = bool(p)     # kl_prob-weighted relation corruption (importProb)
         self._cross_flag = 0
 
         for required in ("entity2id.txt", "relation2id.txt", "train2id.txt"):
@@ -147,7 +148,7 @@ class TrainDataLoader:
         self.lib.sampling(
             self._h.ctypes.data, self._t.ctypes.data, self._r.ctypes.data,
             self._y.ctypes.data, self.batch_size, self.neg_ent, self.neg_rel,
-            mode, self.filter, False, False)
+            mode, self.filter, self.p, False)
         return {"batch_h": self._h.copy(), "batch_t": self._t.copy(),
                 "batch_r": self._r.copy(), "batch_y": self._y.copy(), "mode": mode_name}
 
@@ -166,9 +167,13 @@ class TrainDataLoader:
         r = np.tile(np.asarray(nb.r), 1 + n)
         y = np.concatenate([np.ones(B, np.float32), -np.ones(B * n, np.float32)])
         if self.neg_rel:
+            import jax.numpy as jnp
+
             self._key, sub2 = jax.random.split(self._key)
             neg_r = np.asarray(sampling.corrupt_relations(
-                sub2, self.kg, jax.numpy.asarray(np.asarray(nb.r)), self.neg_rel))
+                sub2, self.kg, jnp.asarray(np.asarray(nb.r)), self.neg_rel,
+                h=jnp.asarray(np.asarray(nb.h)), t=jnp.asarray(np.asarray(nb.t)),
+                filter_flag=self.filter))
             h = np.concatenate([h] + [np.asarray(nb.h)] * self.neg_rel)
             t = np.concatenate([t] + [np.asarray(nb.t)] * self.neg_rel)
             r = np.concatenate([r] + [neg_r[:, k] for k in range(self.neg_rel)])
