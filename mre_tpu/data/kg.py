@@ -99,6 +99,13 @@ class TripleTable:
         trh_sorted = trh[trh_order]
 
         # CSR row offsets over the combined (entity, relation) id space.
+        # Dense [E·R+1] offsets are the right trade at benchmark scale
+        # (FB15K237: 2×3.4M int32 ≈ 28 MB device-side) but grow as E·R —
+        # ~100× the triple count for the KGs in scope and a genuine cliff
+        # near E·R ~ 10⁹ (the int32 guard above fires first). A row-compacted
+        # layout (sorted unique (e,r) keys + searchsorted, trading one extra
+        # binary search per query) is the drop-in fallback if a larger KG
+        # ever needs it.
         hr_ids = h.astype(np.int64) * R + r
         tr_ids = t[trh_order].astype(np.int64) * R + r[trh_order]
         hr_offsets = np.zeros(E * R + 1, dtype=np.int64)
