@@ -52,8 +52,12 @@ def materialize(src: str, dst: str, triples_per_rel: int = 40,
     from mre_tpu.data.fixtures import _png_bytes
 
     os.makedirs(dst, exist_ok=True)
+    missing_real = []
     for name in REAL_FILES:
-        shutil.copyfile(os.path.join(src, name), os.path.join(dst, name))
+        if os.path.exists(os.path.join(src, name)):
+            shutil.copyfile(os.path.join(src, name), os.path.join(dst, name))
+        else:
+            missing_real.append(name)
 
     with open(os.path.join(dst, "relation2ids.json")) as f:
         r2id = json.load(f)
@@ -61,11 +65,20 @@ def materialize(src: str, dst: str, triples_per_rel: int = 40,
         e2id = json.load(f)
     with open(os.path.join(dst, "test_tasks_zsl.json")) as f:
         test_tasks = json.load(f)
-    with open(os.path.join(dst, "rel2candidates_all.json")) as f:
-        rel2candidates = json.load(f)
 
     rng = np.random.default_rng(seed)
     entities = list(e2id.keys())
+    if "rel2candidates_all.json" not in missing_real:
+        with open(os.path.join(dst, "rel2candidates_all.json")) as f:
+            rel2candidates = json.load(f)
+    else:
+        # DB15K-ZS ships no candidate lists — regenerate them the way the
+        # reference's offline prep does (utils/gen_rel2candidates.py: 300
+        # random candidates per relation).
+        rel2candidates = prep.gen_rel2candidates(
+            {r: [] for r in r2id}, entities, n=300, seed=seed)
+        with open(os.path.join(dst, "rel2candidates_all.json"), "w") as f:
+            json.dump(rel2candidates, f)
     unseen = set(test_tasks.keys())
     seen = [r for r in r2id if r not in unseen]
 

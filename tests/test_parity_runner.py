@@ -1,0 +1,47 @@
+"""Unit tests for the KGE parity runner's recipe→config mapping."""
+
+import numpy as np
+import pytest
+
+from experiments.kge_parity import build_config, DERIVED, PUBLISHED
+
+
+def test_rotate_adv_config():
+    cfg = build_config("rotate_WN18RR_adv", train_total=86835)
+    assert cfg.model == "rotate" and cfg.dim == 1024
+    assert cfg.loss == "sigmoid" and cfg.adv_temperature == 2.0
+    assert cfg.batch_size == 2000 and cfg.nbatches == 86835 // 2000
+    assert cfg.opt_method == "adam" and cfg.alpha == 2e-5
+    assert cfg.train_times == 6000 and not cfg.bern
+    assert cfg.init_kwargs == {"margin": 6.0, "epsilon": 2.0}
+
+
+def test_rotate_plain_drops_adv():
+    cfg = build_config("rotate_WN18RR", train_total=86835)
+    assert cfg.adv_temperature is None and cfg.loss == "sigmoid"
+
+
+def test_transe_fb_config():
+    cfg = build_config("transe_FB15K237", train_total=272115)
+    assert cfg.model == "transe" and cfg.dim == 200
+    assert cfg.loss == "margin" and cfg.margin == 5.0
+    assert cfg.nbatches == 100 and cfg.batch_size == 272115 // 100
+    assert cfg.bern and cfg.opt_method == "sgd" and cfg.alpha == 1.0
+
+
+def test_derived_cells_reuse_sibling_recipes():
+    cfg_wn = build_config("transe_WN18RR", train_total=86835)
+    cfg_fb = build_config("transe_FB15K237", train_total=86835)
+    assert cfg_wn == cfg_fb  # same hyperparameters, dataset-independent
+
+
+def test_adagrad_recipes_map_regularization():
+    cfg = build_config("distmult_WN18RR", train_total=86835)
+    assert cfg.opt_method == "adagrad" and cfg.loss == "softplus"
+    assert cfg.regul_rate == 1.0 and cfg.alpha == 0.5
+
+
+def test_published_table_covers_16_cells():
+    assert len(PUBLISHED) == 16
+    for (model, ds), v in PUBLISHED.items():
+        assert ds in ("WN18RR", "FB15K237") and 0.4 < v < 0.6
