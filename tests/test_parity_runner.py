@@ -45,3 +45,41 @@ def test_published_table_covers_16_cells():
     assert len(PUBLISHED) == 16
     for (model, ds), v in PUBLISHED.items():
         assert ds in ("WN18RR", "FB15K237") and 0.4 < v < 0.6
+
+
+def test_checkpoint_resume_roundtrip(tmp_path):
+    """save_state/load_state restore params, optimizer state, and rng
+    exactly, so a resumed run continues the same trajectory."""
+    import jax
+    import numpy as np
+
+    from experiments.kge_parity import load_state, save_state
+    from mre_tpu.data.fixtures import write_openke_benchmark
+    from mre_tpu.data.kg import TripleTable
+    from mre_tpu.openke.data import read_benchmark
+    from mre_tpu.train.kge import KGETrainer, KGETrainerConfig
+
+    d = str(tmp_path) + "/"
+    write_openke_benchmark(d, n_ent=60, n_rel=5, n_train=300)
+    bench = read_benchmark(d)
+    table = TripleTable.build(bench["train"], 60, 5)
+    cfg = KGETrainerConfig(model="transe", dim=16, batch_size=32, neg_ent=4,
+                           train_times=4, nbatches=3, opt_method="adam", alpha=1e-3)
+
+    def run(trainer, n):
+        for _ in range(n):
+            trainer.params, trainer.opt_state, trainer._rng, loss = trainer._epoch_fn(
+                trainer.params, trainer.opt_state, trainer._rng, n_steps=cfg.nbatches)
+        return loss
+
+    a = KGETrainer(table, cfg)
+    run(a, 2)
+    ckpt = str(tmp_path / "state.ckpt")
+    save_state(ckpt, a, 2)
+    final_a = float(run(a, 2))
+
+    b = KGETrainer(table, cfg)
+    epoch = load_state(ckpt, b)
+    assert epoch == 2
+    final_b = float(run(b, 2))
+    np.testing.assert_allclose(final_a, final_b, rtol=1e-5)
