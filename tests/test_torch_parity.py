@@ -183,3 +183,38 @@ def test_transe_margin_flag_matches_reference():
     fwd = np.asarray(m.forward(data))
     dist = np.asarray(m.predict(data))
     np.testing.assert_allclose(fwd, 6.0 - dist, rtol=1e-5)
+
+
+def test_adagrad_lr_decay_matches_torch():
+    """torch Adagrad's lr_decay schedule: clr = lr / (1 + (step−1)·lr_decay)
+    (advisor finding: a recipe with nonzero lr_decay must not silently train
+    a different schedule)."""
+    import jax.numpy as jnp
+
+    from mre_tpu.train.kge import make_optimizer
+
+    rng = np.random.default_rng(1)
+    p0 = rng.normal(size=5).astype(np.float32) * 0.1
+    grads = [rng.normal(size=5).astype(np.float32) for _ in range(6)]
+
+    tx = make_optimizer("adagrad", 0.2, lr_decay=0.07)
+    p_j = jnp.asarray(p0)
+    st = tx.init(p_j)
+    p_t = torch.tensor(p0.copy(), requires_grad=True)
+    opt = torch.optim.Adagrad([p_t], lr=0.2, lr_decay=0.07)
+    for g in grads:
+        up, st = tx.update(jnp.asarray(g), st, p_j)
+        p_j = p_j + up
+        p_t.grad = torch.from_numpy(g.copy())
+        opt.step()
+        np.testing.assert_allclose(np.asarray(p_j), p_t.detach().numpy(),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_lr_decay_rejected_for_other_optimizers():
+    import pytest as _pytest
+
+    from mre_tpu.train.kge import make_optimizer
+
+    with _pytest.raises(ValueError):
+        make_optimizer("adam", 1e-3, lr_decay=0.1)
