@@ -218,3 +218,25 @@ def test_lr_decay_rejected_for_other_optimizers():
 
     with _pytest.raises(ValueError):
         make_optimizer("adam", 1e-3, lr_decay=0.1)
+
+
+def test_sigmoid_adv_loss_matches_reference_formula():
+    """Self-adversarial sigmoid loss (OpenKE SigmoidLoss.py forward):
+    -(mean log σ(p) + mean_b Σ_n softmax(n·T) log σ(−n)) / 2."""
+    import jax.numpy as jnp
+    import torch.nn.functional as F
+
+    from mre_tpu.ops.losses import sigmoid_loss
+
+    rng = np.random.default_rng(3)
+    p = rng.normal(size=(7, 1)).astype(np.float32)
+    n = rng.normal(size=(7, 5)).astype(np.float32)
+    T = 2.0
+
+    pt, nt = torch.from_numpy(p), torch.from_numpy(n)
+    w = F.softmax(nt * T, dim=-1).detach()
+    expected = -(F.logsigmoid(pt).mean()
+                 + (w * F.logsigmoid(-nt)).sum(dim=-1).mean()) / 2
+
+    got = sigmoid_loss(jnp.asarray(p), jnp.asarray(n), adv_temperature=T)
+    np.testing.assert_allclose(float(got), float(expected), rtol=1e-6)
