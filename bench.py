@@ -63,18 +63,25 @@ def run_device(symbols, connections, degrees, rel_vecs, pairs, ents):
     params = extractor.init({"params": jax.random.key(0)}, symbols_d, dummy,
                             dummy, meta0, meta0, True)["params"]
 
-    # per-entity neighbor encodings precomputed once per evaluation
-    nbr_table = jax.jit(lambda: extractor.apply(
-        {"params": params}, symbols_d, conns_d, degs_d,
-        method=extractor.encode_neighbors))()
+    # per-entity neighbor encodings + factored pair tables precomputed once
+    # per evaluation (extractor.precompute_pair_tables): the per-pair cost is
+    # one L[e1]+R[e2] add + the SupportEncoder.
+    ent_sym = jnp.asarray(235 + np.arange(N_ENTS, dtype=np.int32))
+
+    def _tables():
+        nbr = extractor.apply({"params": params}, symbols_d, conns_d, degs_d,
+                              method=extractor.encode_neighbors)
+        return extractor.apply({"params": params}, symbols_d, nbr, ent_sym,
+                               method=extractor.precompute_pair_tables)
+
+    L, R = jax.jit(_tables)()
 
     chunk = int(os.environ.get("BENCH_CHUNK", "128"))  # queries per device call
 
     @jax.jit
-    def score_chunk(pairs_c, left, right, rel_vecs_d):
-        emb = extractor.apply({"params": params}, symbols_d, nbr_table,
-                              pairs_c, left, right,
-                              method=extractor.embed_pairs_precomputed)
+    def score_chunk(left, right, rel_vecs_d):
+        emb = extractor.apply({"params": params}, L, R, left, right,
+                              method=extractor.embed_pairs_factored)
         emb = emb.reshape(chunk, C, EMB_DIM)
         mask = jnp.ones((chunk, C), bool)
         return _score_and_rank(emb, rel_vecs_d, mask)
@@ -86,12 +93,11 @@ def run_device(symbols, connections, degrees, rel_vecs, pairs, ents):
     # transfer jitter would otherwise dominate the measurement)
     staged = []
     for i in range(0, Q_DEVICE, chunk):
-        staged.append((jnp.asarray(pairs[i:i + chunk].reshape(-1, 2)),
-                       jnp.asarray(ents[i:i + chunk, :, 0].reshape(-1)),
+        staged.append((jnp.asarray(ents[i:i + chunk, :, 0].reshape(-1)),
                        jnp.asarray(ents[i:i + chunk, :, 1].reshape(-1))))
 
     def run_all():
-        ranks = [score_chunk(p, l, r, rel_vecs_d) for p, l, r in staged]
+        ranks = [score_chunk(l, r, rel_vecs_d) for l, r in staged]
         return jax.block_until_ready(jnp.concatenate(ranks))
 
     log("device: compiling...")
@@ -110,10 +116,9 @@ def run_device(symbols, connections, degrees, rel_vecs, pairs, ents):
     def run_all_e2e():
         ranks = []
         for i in range(0, Q_DEVICE, chunk):
-            p = jnp.asarray(pairs[i:i + chunk].reshape(-1, 2))
             l = jnp.asarray(ents[i:i + chunk, :, 0].reshape(-1))
             r = jnp.asarray(ents[i:i + chunk, :, 1].reshape(-1))
-            ranks.append(score_chunk(p, l, r, rel_vecs_d))
+            ranks.append(score_chunk(l, r, rel_vecs_d))
         return jax.block_until_ready(jnp.concatenate(ranks))
 
     run_all_e2e()

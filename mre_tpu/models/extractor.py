@@ -100,6 +100,38 @@ class Extractor(nn.Module):
             [nbr_table[left], e, nbr_table[right]], axis=-1))
         return self.support_encoder(x, True)
 
+    # -- fully factored eval path ---------------------------------------------
+
+    def precompute_pair_tables(self, symbols, nbr_table, ent_sym):
+        """Per-entity left/right pre-activations for the pair embedding.
+
+        Everything upstream of the SupportEncoder is separable per entity:
+        with the reshape kernel W split over its concat rows
+        [nbr_left | tanh(fc1(e1)) ‖ tanh(fc2(e2)) | nbr_right],
+
+            x(e1, e2) = L[e1] + R[e2] + b,
+            L[e] = nbr[e]·W_nl + tanh(fc1(sym[e]))·W_e1   (+ b, folded)
+            R[e] = tanh(fc2(sym[e]))·W_e2 + nbr[e]·W_nr
+
+        so ranking a pair costs one add + the SupportEncoder instead of four
+        gathers + three matmuls. ``ent_sym``: [n_entities] symbol id of each
+        entity (the Extractor's symbol table holds relations first).
+        Returns (L, R), each [n_entities, embed_dim].
+        """
+        half = self.embed_dim // 2
+        kernel = self.reshape_layer.variables["params"]["kernel"]
+        bias = self.reshape_layer.variables["params"]["bias"]
+        W_nl, W_e1, W_e2, W_nr = (kernel[:half], kernel[half:2 * half],
+                                  kernel[2 * half:3 * half], kernel[3 * half:])
+        e_sym = symbols[ent_sym]
+        L = (nbr_table @ W_nl + jnp.tanh(self.fc1(e_sym)) @ W_e1) + bias
+        R = jnp.tanh(self.fc2(e_sym)) @ W_e2 + nbr_table @ W_nr
+        return L, R
+
+    def embed_pairs_factored(self, L, R, left, right):
+        """Pair embeddings from the factored tables: [N] entity ids."""
+        return self.support_encoder(L[left] + R[right], True)
+
 
 class Discriminator(nn.Module):
     dim: int = 200

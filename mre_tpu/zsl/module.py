@@ -529,18 +529,28 @@ class ZSLModule:
         + DistillModel.py) instead of the WGAN generator head."""
         test_candidates = loaders.load_candidates(self.data_path, mode)
 
-        # precompute per-entity neighbor encodings once — removes the
-        # [Q·C, max_neighbor, D] gather from the ranking hot path
-        nbr_table = jax.jit(lambda: self.extractor.apply(
-            {"params": self.ex_params}, self.symbol_table, self.connections,
-            self.degrees, method=self.extractor.encode_neighbors))()
+        # precompute per-entity neighbor encodings and the factored pair
+        # tables once — the ranking hot path then costs one table add + the
+        # SupportEncoder per pair (extractor.precompute_pair_tables)
+        ent_sym = np.full(self.connections.shape[0], self.symbols.pad_id, np.int32)
+        for name in self.symbols.ent_names:
+            ent_sym[self.e2id[name]] = self.symbols.symbol2id[name]
+
+        def _tables():
+            nbr = self.extractor.apply(
+                {"params": self.ex_params}, self.symbol_table, self.connections,
+                self.degrees, method=self.extractor.encode_neighbors)
+            return self.extractor.apply(
+                {"params": self.ex_params}, self.symbol_table, nbr,
+                jnp.asarray(ent_sym), method=self.extractor.precompute_pair_tables)
+
+        L, R = jax.jit(_tables)()
 
         @jax.jit
         def embed(pairs, left, right):
             return self.extractor.apply(
-                {"params": self.ex_params}, self.symbol_table, nbr_table,
-                pairs, left, right,
-                method=self.extractor.embed_pairs_precomputed)
+                {"params": self.ex_params}, L, R, left, right,
+                method=self.extractor.embed_pairs_factored)
 
         if predict_unseen is not None:
             def gen_rel_vecs(rel_name):

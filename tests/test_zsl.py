@@ -148,3 +148,37 @@ def test_zero_shot_tie_rank_is_pessimistic():
     mask = jnp.ones((1, 4), bool)
     rank = int(_score_and_rank(emb, rel, mask)[0])
     assert rank == 3  # two tied non-true candidates count ahead of the true
+
+
+def test_factored_pair_embedding_matches_precomputed():
+    """embed_pairs_factored (per-entity table algebra) must equal the
+    embed_pairs_precomputed path it replaces on the eval hot path."""
+    import jax
+    import jax.numpy as jnp
+
+    from mre_tpu.models.extractor import Extractor
+
+    D, NS, NE, K = 64, 120, 90, 8
+    rng = np.random.default_rng(0)
+    symbols = jnp.asarray(rng.normal(size=(NS + 1, D)).astype(np.float32))
+    conns = jnp.asarray(rng.integers(0, NS, (NE, K, 2)).astype(np.int32))
+    degs = jnp.asarray(rng.integers(1, K, NE).astype(np.float32))
+    ex = Extractor(embed_dim=D)
+    dummy = jnp.asarray(rng.integers(30, NS, (2, 2)).astype(np.int32))
+    meta0 = (conns[:2], degs[:2], conns[:2], degs[:2])
+    params = ex.init({"params": jax.random.key(0)}, symbols, dummy, dummy,
+                     meta0, meta0, True)["params"]
+    nbr = ex.apply({"params": params}, symbols, conns, degs,
+                   method=ex.encode_neighbors)
+    ent_sym = jnp.asarray((30 + np.arange(NE)).astype(np.int32))
+    pe = rng.integers(0, NE, (50, 2)).astype(np.int32)
+    pairs_sym = jnp.asarray(30 + pe)
+    left, right = jnp.asarray(pe[:, 0]), jnp.asarray(pe[:, 1])
+    old = ex.apply({"params": params}, symbols, nbr, pairs_sym, left, right,
+                   method=ex.embed_pairs_precomputed)
+    L, R = ex.apply({"params": params}, symbols, nbr, ent_sym,
+                    method=ex.precompute_pair_tables)
+    new = ex.apply({"params": params}, L, R, left, right,
+                   method=ex.embed_pairs_factored)
+    np.testing.assert_allclose(np.asarray(new), np.asarray(old),
+                               rtol=2e-4, atol=2e-5)
