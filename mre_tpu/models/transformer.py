@@ -114,7 +114,8 @@ class Attention(nn.Module):
         use_pallas = (self.attention_impl == "pallas"
                       or (self.attention_impl == "auto"
                           and _pallas_attention_available()
-                          and pallas_attention_profitable(head_dim)))
+                          and pallas_attention_profitable(head_dim,
+                                                          self.num_heads)))
         if use_pallas and (self.att_drop == 0.0 or deterministic):
             from mre_tpu.ops.pallas.attention import fused_attention
 

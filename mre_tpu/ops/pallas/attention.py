@@ -47,10 +47,14 @@ def _head_group(num_heads: int, n_pad: int) -> int:
     return 1
 
 
-def pallas_attention_profitable(head_dim: int) -> bool:
-    """The fused kernel beats XLA only when head_dim fills ≥ half the
-    128-wide lanes (measured: +14% at hd=64; −70% at hd=32 on v5e)."""
-    return head_dim >= 64
+def pallas_attention_profitable(head_dim: int, num_heads: int = 0) -> bool:
+    """hd ≥ 64 fills ≥ half the 128-wide lanes (measured: +14% at hd=64 on
+    v5e). Smaller heads go through the lane-packed kernel, profitable when
+    128/hd of them can be packed into the lane dimension."""
+    if head_dim >= 64:
+        return True
+    pack = 128 // max(head_dim, 1)
+    return head_dim >= 16 and num_heads % pack == 0
 
 
 def _attention_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, scale, group):
@@ -64,6 +68,42 @@ def _attention_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, scale, group):
         att = jax.nn.softmax(att, axis=-1)
         out_ref[0, h] = jnp.dot(att, v, preferred_element_type=jnp.float32
                                 ).astype(out_ref.dtype)
+
+
+def _attention_kernel_packed(q_ref, k_ref, v_ref, mask_ref, out_ref, *,
+                             scale, pack):
+    """Lane-packed attention for small heads (hd < 64).
+
+    ``pack`` heads are processed per program. Per-head [N, hd] operands
+    leave 128−hd lanes idle on the MXU; instead the heads' queries are
+    stacked block-diagonally into Q_blk [P·N, P·hd] and keys/values
+    concatenated along lanes (K4, V4 [N, P·hd]), so
+
+        att_stack = Q_blk · K4ᵀ   ∈ [P·N, N]   (row block h = Q_h K_hᵀ)
+
+    runs one full-width (P·hd = 128 lane) matmul instead of P quarter-width
+    ones. Row-wise softmax normalizes each head independently (rows never
+    mix heads). The output matmul att_stack · V4 ∈ [P·N, P·hd] computes all
+    head×value-block products; the per-head outputs are its diagonal blocks.
+    """
+    n_pad, hd = q_ref.shape[2], q_ref.shape[3]
+    pad = mask_ref[0]                                   # [1, N] 1.0 = PAD
+    q_blk = jnp.zeros((pack * n_pad, pack * hd), jnp.float32)
+    for h in range(pack):
+        q_blk = q_blk.at[h * n_pad:(h + 1) * n_pad,
+                         h * hd:(h + 1) * hd].set(q_ref[0, h].astype(jnp.float32))
+    k4 = jnp.concatenate([k_ref[0, h].astype(jnp.float32)
+                          for h in range(pack)], axis=-1)  # [N, P·hd]
+    v4 = jnp.concatenate([v_ref[0, h].astype(jnp.float32)
+                          for h in range(pack)], axis=-1)
+    att = jax.lax.dot_general(q_blk, k4, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32) * scale
+    att = jnp.where(pad > 0, -1e7, att)                 # key-side mask, all rows
+    att = jax.nn.softmax(att, axis=-1)
+    out4 = jnp.dot(att, v4, preferred_element_type=jnp.float32)
+    for h in range(pack):
+        out_ref[0, h] = out4[h * n_pad:(h + 1) * n_pad,
+                             h * hd:(h + 1) * hd].astype(out_ref.dtype)
 
 
 def _attention_reference(q, k, v, padding_mask, scale):
@@ -91,9 +131,14 @@ def _pallas_forward(q, k, v, padding_mask, scale, interpret=False):
     maskp = jnp.pad(padding_mask.astype(jnp.float32), ((0, 0), (0, n_pad - N)),
                     constant_values=1.0)[:, None, :]
 
-    G = _head_group(H, n_pad)
+    if hd < 64 and H % (128 // hd) == 0:
+        G = 128 // hd          # lane-packed: one pack of heads per program
+        kernel = functools.partial(_attention_kernel_packed, scale=scale, pack=G)
+    else:
+        G = _head_group(H, n_pad)
+        kernel = functools.partial(_attention_kernel, scale=scale, group=G)
     out = pl.pallas_call(
-        functools.partial(_attention_kernel, scale=scale, group=G),
+        kernel,
         out_shape=jax.ShapeDtypeStruct((B, H, n_pad, hd), q.dtype),
         grid=(B, H // G),
         in_specs=[

@@ -46,6 +46,28 @@ def test_gradients_match_reference():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
 
 
+def test_lane_packed_small_heads_matches_reference():
+    """hd < 64 with num_heads divisible by 128//hd routes through the
+    lane-packed block-diagonal kernel; must match the jnp reference."""
+    for B, H, N, hd, seed in [(2, 4, 37, 32, 10), (1, 8, 21, 16, 13),
+                              (1, 16, 33, 32, 16)]:
+        q, k, v = (_rand((B, H, N, hd), seed), _rand((B, H, N, hd), seed + 1),
+                   _rand((B, H, N, hd), seed + 2))
+        pad = jnp.zeros((B, N), jnp.float32).at[:, -5:].set(1.0)
+        ref = _attention_reference(q, k, v, pad, hd ** -0.5)
+        out = fused_attention(q, k, v, pad, hd ** -0.5, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_lane_packed_no_mask():
+    B, H, N, hd = 1, 4, 24, 32
+    q, k, v = _rand((B, H, N, hd), 20), _rand((B, H, N, hd), 21), _rand((B, H, N, hd), 22)
+    ref = _attention_reference(q, k, v, None, hd ** -0.5)
+    out = fused_attention(q, k, v, None, hd ** -0.5, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
 def test_transformer_pallas_flag_consistency():
     """Attention module output with explicit impl flags must agree."""
     from mre_tpu.models.transformer import Attention
