@@ -101,11 +101,11 @@ class TripleTable:
         # CSR row offsets over the combined (entity, relation) id space.
         # Dense [E·R+1] offsets are the right trade at benchmark scale
         # (FB15K237: 2×3.4M int32 ≈ 28 MB device-side) but grow as E·R —
-        # ~100× the triple count for the KGs in scope and a genuine cliff
-        # near E·R ~ 10⁹ (the int32 guard above fires first). A row-compacted
-        # layout (sorted unique (e,r) keys + searchsorted, trading one extra
-        # binary search per query) is the drop-in fallback if a larger KG
-        # ever needs it.
+        # ~100× the triple count for the KGs in scope. Host-side they stay
+        # dense (cheap, and the prep-time reductions want them); the device
+        # mirror switches to the row-compacted layout past
+        # COMPACT_ROW_THRESHOLD (DeviceKG.from_table / _compact_rows),
+        # trading one batched binary search per row lookup.
         hr_ids = h.astype(np.int64) * R + r
         tr_ids = t[trh_order].astype(np.int64) * R + r[trh_order]
         hr_offsets = np.zeros(E * R + 1, dtype=np.int64)
@@ -214,42 +214,122 @@ class DeviceKG:
     tr_big_d: jnp.ndarray
     pair_keys: jnp.ndarray | None    # int32 pack(h, t); None when E² ≥ 2³¹
     pair_rels: jnp.ndarray | None
+    # Row-compacted CSR (large-KG mode): sorted int32 keys of the rows that
+    # actually hold triples; ``hr_offsets``/``hr_big_index`` are then indexed
+    # by compact position, not by dense (e·R + r) row id. None = dense.
+    hr_row_keys: jnp.ndarray | None = None
+    tr_row_keys: jnp.ndarray | None = None
     pair_pad: int = 1
     hr_overflow_frac: float = 0.0
     tr_overflow_frac: float = 0.0
 
     @classmethod
-    def from_table(cls, t: TripleTable) -> "DeviceKG":
+    def from_table(cls, t: TripleTable, compact: bool | None = None) -> "DeviceKG":
         # device arrays are int32-only (x64 is disabled); the packed (h, t)
         # pair key fits iff E² < 2³¹ — true for every benchmark in scope.
         pair_ok = t.n_entities * t.n_entities < 2**31
+        n_rows = t.n_entities * t.n_relations
+        if compact is None:
+            # Dense [E·R+1] offsets cost 2×4(E·R) bytes of HBM; compact once
+            # that passes ~256 MB (the benchmarks in scope are all ≤ ~14 MB).
+            compact = n_rows > COMPACT_ROW_THRESHOLD
+        if compact:
+            hr_keys, hr_off, hr_big_idx = _compact_rows(
+                t.hr_offsets, t.hr_big_index)
+            tr_keys, tr_off, tr_big_idx = _compact_rows(
+                t.tr_offsets, t.tr_big_index)
+            hr_row_keys = jnp.asarray(hr_keys, jnp.int32)
+            tr_row_keys = jnp.asarray(tr_keys, jnp.int32)
+            hr_offsets, tr_offsets = (jnp.asarray(hr_off, jnp.int32),
+                                      jnp.asarray(tr_off, jnp.int32))
+            hr_big_index = jnp.asarray(hr_big_idx)
+            tr_big_index = jnp.asarray(tr_big_idx)
+        else:
+            hr_row_keys = tr_row_keys = None
+            hr_offsets = jnp.asarray(t.hr_offsets, jnp.int32)
+            tr_offsets = jnp.asarray(t.tr_offsets, jnp.int32)
+            hr_big_index = jnp.asarray(t.hr_big_index)
+            tr_big_index = jnp.asarray(t.tr_big_index)
         return cls(
             n_entities=t.n_entities,
             n_relations=t.n_relations,
             triples=jnp.asarray(t.triples),
-            hr_offsets=jnp.asarray(t.hr_offsets, jnp.int32),
-            tr_offsets=jnp.asarray(t.tr_offsets, jnp.int32),
+            hr_offsets=hr_offsets,
+            tr_offsets=tr_offsets,
             hrt_tails=jnp.asarray(t.hrt_tails),
             trh_heads=jnp.asarray(t.trh_heads),
             left_mean=jnp.asarray(t.left_mean),
             right_mean=jnp.asarray(t.right_mean),
-            hr_big_index=jnp.asarray(t.hr_big_index),
+            hr_big_index=hr_big_index,
             hr_big_d=jnp.asarray(t.hr_big_d),
-            tr_big_index=jnp.asarray(t.tr_big_index),
+            tr_big_index=tr_big_index,
             tr_big_d=jnp.asarray(t.tr_big_d),
             pair_keys=jnp.asarray(t.pair_keys, jnp.int32) if pair_ok else None,
             pair_rels=jnp.asarray(t.pair_rels) if pair_ok else None,
+            hr_row_keys=hr_row_keys,
+            tr_row_keys=tr_row_keys,
             pair_pad=t.pair_pad,
             hr_overflow_frac=t.hr_overflow_frac,
             tr_overflow_frac=t.tr_overflow_frac,
         )
+
+    # --- device-side row-range lookup (jit-safe) -------------------------
+
+    def hr_range(self, rows: jnp.ndarray):
+        """(start, cnt, row_idx) of the (h·R + r) CSR rows, [B] each.
+
+        ``row_idx`` is whatever indexes ``hr_big_index`` for these rows
+        (dense row id, or compact position in large-KG mode). Rows absent
+        from a compact index resolve to cnt = 0.
+        """
+        return _row_range(self.hr_offsets, self.hr_row_keys, rows)
+
+    def tr_range(self, rows: jnp.ndarray):
+        return _row_range(self.tr_offsets, self.tr_row_keys, rows)
+
+    def max_row_len(self) -> int:
+        """Longest true-candidate row across both orientations (host int)."""
+        return int(max(int(jnp.max(jnp.diff(self.hr_offsets))),
+                       int(jnp.max(jnp.diff(self.tr_offsets))), 1))
+
+
+# HBM budget above which the dense [E·R+1] device offset arrays give way to
+# the row-compacted layout (≈ 2 arrays × 4 B × rows = 256 MB at this count).
+COMPACT_ROW_THRESHOLD = 32 * 1024 * 1024
+
+
+def _compact_rows(offsets: np.ndarray, big_index: np.ndarray):
+    """Compact a dense CSR over the (e, r) row space to present-rows-only:
+    sorted int32 row keys, [U+1] offsets, and the big-row index re-based to
+    compact positions. Exactly the ``searchsorted`` fallback documented at
+    the dense-offset build above."""
+    sizes = np.diff(offsets)
+    keys = np.nonzero(sizes > 0)[0]
+    comp = np.concatenate([offsets[keys], offsets[-1:]])
+    return (keys.astype(np.int32), comp.astype(np.int64),
+            big_index[keys].astype(np.int32))
+
+
+def _row_range(offsets: jnp.ndarray, row_keys: jnp.ndarray | None,
+               rows: jnp.ndarray):
+    """Vectorized CSR row lookup: dense gather, or one batched binary search
+    over the present-row keys in compact mode (absent rows → cnt 0)."""
+    rows = rows.astype(jnp.int32)
+    if row_keys is None:
+        start = offsets[rows]
+        return start, (offsets[rows + 1] - start).astype(jnp.int32), rows
+    idx = jnp.clip(jnp.searchsorted(row_keys, rows), 0, row_keys.shape[0] - 1)
+    found = row_keys[idx] == rows
+    start = offsets[idx]
+    cnt = jnp.where(found, offsets[idx + 1] - start, 0).astype(jnp.int32)
+    return jnp.where(found, start, 0), cnt, idx
 
 
 def _kg_flatten(kg: DeviceKG):
     children = (kg.triples, kg.hr_offsets, kg.tr_offsets,
                 kg.hrt_tails, kg.trh_heads, kg.left_mean, kg.right_mean,
                 kg.hr_big_index, kg.hr_big_d, kg.tr_big_index, kg.tr_big_d,
-                kg.pair_keys, kg.pair_rels)
+                kg.pair_keys, kg.pair_rels, kg.hr_row_keys, kg.tr_row_keys)
     aux = (kg.n_entities, kg.n_relations, kg.pair_pad,
            kg.hr_overflow_frac, kg.tr_overflow_frac)
     return children, aux

@@ -46,13 +46,13 @@ def _filter_mask(kg: DeviceKG, anchors: jnp.ndarray, r: jnp.ndarray, side: str,
     bounds the per-row true-set size (rows larger than pad are truncated —
     callers should pick pad ≥ max row size; TripleTable knows the max).
     """
-    if side == "tail":
-        offsets, values = kg.hr_offsets, kg.hrt_tails
-    else:
-        offsets, values = kg.tr_offsets, kg.trh_heads
     rows = anchors.astype(jnp.int32) * kg.n_relations + r.astype(jnp.int32)
-    start = offsets[rows]
-    cnt = offsets[rows + 1] - start
+    if side == "tail":
+        values = kg.hrt_tails
+        start, cnt, _ = kg.hr_range(rows)
+    else:
+        values = kg.trh_heads
+        start, cnt, _ = kg.tr_range(rows)
     lane = jnp.arange(pad, dtype=jnp.int32)
     gidx = jnp.minimum(start[:, None] + lane[None, :], values.shape[0] - 1)
     vals = values[gidx].astype(jnp.int32)
@@ -122,9 +122,7 @@ def link_prediction(predict_all_tails: Callable, predict_all_heads: Callable,
         # _filter_mask silently truncates rows longer than the pad, which
         # would overstate filtered metrics — derive the exact bound from the
         # CSR offsets the kg already carries (one-time host reduction).
-        filter_pad = int(max(
-            int(jnp.max(jnp.diff(kg_filter.hr_offsets))),
-            int(jnp.max(jnp.diff(kg_filter.tr_offsets))), 1))
+        filter_pad = kg_filter.max_row_len()
 
     pad_n = ((n + chunk - 1) // chunk) * chunk
     padded = np.concatenate([test, np.repeat(test[-1:], pad_n - n, axis=0)], 0)

@@ -55,8 +55,7 @@ def _contains(kg: DeviceKG, h: jnp.ndarray, r: jnp.ndarray, t: jnp.ndarray,
     r = r.reshape(-1).astype(jnp.int32)
     t = t.reshape(-1).astype(jnp.int32)
     rows = h * kg.n_relations + r
-    start = kg.hr_offsets[rows]
-    cnt = kg.hr_offsets[rows + 1] - start
+    start, cnt, ridx = kg.hr_range(rows)
     lane = jnp.arange(pad, dtype=jnp.int32)
     gidx = jnp.minimum(start[:, None] + lane[None, :], kg.hrt_tails.shape[0] - 1)
     vals = kg.hrt_tails[gidx].astype(jnp.int32)
@@ -68,7 +67,7 @@ def _contains(kg: DeviceKG, h: jnp.ndarray, r: jnp.ndarray, t: jnp.ndarray,
         n = found.shape[0]
         k = min(n, _overflow_slots(n, kg.hr_overflow_frac))
         _, idx = jax.lax.top_k(overflow.astype(jnp.float32), k)
-        slot = jnp.maximum(kg.hr_big_index[rows[idx]], 0)
+        slot = jnp.maximum(kg.hr_big_index[ridx[idx]], 0)
         pad_big = kg.hr_big_d.shape[1]
         lane_b = jnp.arange(pad_big, dtype=jnp.int32)
         big_vals = kg.hr_big_d[slot] + lane_b[None, :]   # values = d + rank
@@ -89,14 +88,16 @@ def _overflow_slots(n: int, frac: float) -> int:
     return max(1024, n // 16, min(n, int(n * frac * 4) + 128))
 
 
-def _complement_draw(key: jax.Array, values: jnp.ndarray, offsets: jnp.ndarray,
+def _complement_draw(key: jax.Array, values: jnp.ndarray,
+                     start: jnp.ndarray, cnt: jnp.ndarray, ridx: jnp.ndarray,
                      big_index: jnp.ndarray, big_d: jnp.ndarray,
-                     rows: jnp.ndarray, n_total: int, pad: int,
+                     n_total: int, pad: int,
                      overflow_slots: int | None = None,
                      overflow_frac: float = 0.0) -> jnp.ndarray:
     """Draw one uniform sample per row from {0..n_total-1} \\ true_set(row).
 
-    Exact, rejection-free, two tiers:
+    ``start``/``cnt``/``ridx`` come from ``DeviceKG.hr_range``/``tr_range``
+    (``ridx`` indexes ``big_index``). Exact, rejection-free, two tiers:
     * tier 1 — rows with ≤ ``pad`` true values: one padded gather of the CSR
       slice, shift u past it (base/Corrupt.h:7-44 vectorized);
     * tier 2 — the rare overflow draws (rows bigger than pad) are compacted
@@ -105,10 +106,7 @@ def _complement_draw(key: jax.Array, values: jnp.ndarray, offsets: jnp.ndarray,
       no sequential binary searches (TPU random gathers are latency-bound).
     """
     pad = max(pad, KG_EXACT_PAD)   # big-row tables cover cnt > KG_EXACT_PAD
-    B = rows.shape[0]
-    start = offsets[rows]                      # [B]
-    cnt = (offsets[rows + 1] - start).astype(jnp.int32)  # [B]
-    u = jax.random.randint(key, rows.shape, 0, jnp.maximum(n_total - cnt, 1))
+    u = jax.random.randint(key, start.shape, 0, jnp.maximum(n_total - cnt, 1))
 
     lane = jnp.arange(pad, dtype=jnp.int32)    # [pad]
     gidx = jnp.minimum(start[:, None] + lane[None, :], values.shape[0] - 1)
@@ -118,7 +116,7 @@ def _complement_draw(key: jax.Array, values: jnp.ndarray, offsets: jnp.ndarray,
     d = jnp.where(valid, vals - lane[None, :], n_total + 1)
     sample = (u + jnp.sum(d <= u[:, None], axis=-1).astype(u.dtype)).astype(jnp.int32)
 
-    return _resolve_overflow(sample, u, rows, cnt > pad, big_index, big_d,
+    return _resolve_overflow(sample, u, ridx, cnt > pad, big_index, big_d,
                              overflow_slots, overflow_frac)
 
 
@@ -126,16 +124,18 @@ def corrupt_tails(key: jax.Array, kg: DeviceKG, h: jnp.ndarray, r: jnp.ndarray,
                   pad: int = EXACT_PAD) -> jnp.ndarray:
     """One filtered corrupted tail per (h, r) — never a true tail."""
     rows = h.astype(jnp.int32) * kg.n_relations + r.astype(jnp.int32)
-    return _complement_draw(key, kg.hrt_tails, kg.hr_offsets,
-                            kg.hr_big_index, kg.hr_big_d, rows, kg.n_entities, pad)
+    start, cnt, ridx = kg.hr_range(rows)
+    return _complement_draw(key, kg.hrt_tails, start, cnt, ridx,
+                            kg.hr_big_index, kg.hr_big_d, kg.n_entities, pad)
 
 
 def corrupt_heads(key: jax.Array, kg: DeviceKG, t: jnp.ndarray, r: jnp.ndarray,
                   pad: int = EXACT_PAD) -> jnp.ndarray:
     """One filtered corrupted head per (t, r) — never a true head."""
     rows = t.astype(jnp.int32) * kg.n_relations + r.astype(jnp.int32)
-    return _complement_draw(key, kg.trh_heads, kg.tr_offsets,
-                            kg.tr_big_index, kg.tr_big_d, rows, kg.n_entities, pad)
+    start, cnt, ridx = kg.tr_range(rows)
+    return _complement_draw(key, kg.trh_heads, start, cnt, ridx,
+                            kg.tr_big_index, kg.tr_big_d, kg.n_entities, pad)
 
 
 class NegativeBatch(NamedTuple):
@@ -152,10 +152,8 @@ class NegativeBatch(NamedTuple):
     neg_t: jnp.ndarray
 
 
-def _gather_row_d(values, offsets, rows, n_total, pad):
+def _gather_row_d(values, start, cnt, n_total, pad):
     """Padded (value − rank) slice per row: [B, pad] + cnt [B]."""
-    start = offsets[rows]
-    cnt = (offsets[rows + 1] - start).astype(jnp.int32)
     lane = jnp.arange(pad, dtype=jnp.int32)
     gidx = jnp.minimum(start[:, None] + lane[None, :], values.shape[0] - 1)
     vals = values[gidx].astype(jnp.int32)
@@ -164,11 +162,12 @@ def _gather_row_d(values, offsets, rows, n_total, pad):
     return d, cnt
 
 
-def _resolve_overflow(sample, u, rows, overflow, big_index, big_d,
+def _resolve_overflow(sample, u, ridx, overflow, big_index, big_d,
                       overflow_slots: int | None = None,
                       overflow_frac: float = 0.0):
     """Tier-2: fix the draws whose row exceeds the pad, via a top_k
-    compaction against the dense big-row matrix.
+    compaction against the dense big-row matrix. ``ridx`` indexes
+    ``big_index`` (dense row ids, or compact positions in large-KG mode).
 
     ``overflow_slots`` bounds the compaction width. Default: full coverage
     for batches ≤ 8192 draws (exactness guaranteed), else sized from the
@@ -183,7 +182,7 @@ def _resolve_overflow(sample, u, rows, overflow, big_index, big_d,
     if overflow_slots is None:
         overflow_slots = _overflow_slots(n, overflow_frac)
     u_f = u.reshape(-1)
-    rows_f = rows.reshape(-1)
+    rows_f = ridx.reshape(-1)
     over_f = overflow.reshape(-1)
     k = min(overflow_slots, n)
     _, idx = jax.lax.top_k(over_f.astype(jnp.float32), k)
@@ -221,8 +220,10 @@ def corrupt_batch(key: jax.Array, kg: DeviceKG, h: jnp.ndarray, r: jnp.ndarray,
 
     rows_t = h.astype(jnp.int32) * kg.n_relations + r.astype(jnp.int32)
     rows_h = t.astype(jnp.int32) * kg.n_relations + r.astype(jnp.int32)
-    d_t, cnt_t = _gather_row_d(kg.hrt_tails, kg.hr_offsets, rows_t, kg.n_entities, pad)
-    d_h, cnt_h = _gather_row_d(kg.trh_heads, kg.tr_offsets, rows_h, kg.n_entities, pad)
+    start_t, cnt_t, ridx_t = kg.hr_range(rows_t)
+    start_h, cnt_h, ridx_h = kg.tr_range(rows_h)
+    d_t, cnt_t = _gather_row_d(kg.hrt_tails, start_t, cnt_t, kg.n_entities, pad)
+    d_h, cnt_h = _gather_row_d(kg.trh_heads, start_h, cnt_h, kg.n_entities, pad)
 
     cnt = jnp.where(side, cnt_t[:, None], cnt_h[:, None])           # [B, n_neg]
     u = jax.random.randint(k_u, (B, n_neg), 0,
@@ -234,8 +235,8 @@ def corrupt_batch(key: jax.Array, kg: DeviceKG, h: jnp.ndarray, r: jnp.ndarray,
     # tier-2 overflow resolution, per side
     over_t = jnp.logical_and(side, (cnt_t > pad)[:, None])
     over_h = jnp.logical_and(~side, (cnt_h > pad)[:, None])
-    rows_t_b = jnp.broadcast_to(rows_t[:, None], (B, n_neg))
-    rows_h_b = jnp.broadcast_to(rows_h[:, None], (B, n_neg))
+    rows_t_b = jnp.broadcast_to(ridx_t[:, None], (B, n_neg))
+    rows_h_b = jnp.broadcast_to(ridx_h[:, None], (B, n_neg))
     sample = _resolve_overflow(sample, u, rows_t_b, over_t,
                                kg.hr_big_index, kg.hr_big_d,
                                overflow_frac=kg.hr_overflow_frac)

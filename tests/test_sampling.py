@@ -118,3 +118,44 @@ def test_corrupt_relations_filtered_vs_bruteforce(tiny_kg, dkg):
     many = np.asarray(sampling.corrupt_relations(
         jax.random.key(2), dkg, r[:1], n_neg=512, h=h[:1], t=t[:1]))
     assert set(many.ravel().tolist()) == set(range(tiny_kg.n_relations)) - pair_true
+
+
+def test_compact_device_kg_matches_dense(tiny_kg, dkg):
+    """Row-compacted DeviceKG (large-KG mode) must be bit-identical to the
+    dense layout for sampling, membership, and ranking filters."""
+    ckg = DeviceKG.from_table(tiny_kg, compact=True)
+    assert ckg.hr_row_keys is not None
+    assert ckg.hr_offsets.shape[0] < dkg.hr_offsets.shape[0]
+    assert ckg.max_row_len() == dkg.max_row_len()
+
+    h = jnp.asarray(tiny_kg.triples[:, 0])
+    r = jnp.asarray(tiny_kg.triples[:, 1])
+    t = jnp.asarray(tiny_kg.triples[:, 2])
+
+    for seed in range(3):
+        key = jax.random.key(seed)
+        np.testing.assert_array_equal(
+            np.asarray(sampling.corrupt_tails(key, dkg, h, r)),
+            np.asarray(sampling.corrupt_tails(key, ckg, h, r)))
+        np.testing.assert_array_equal(
+            np.asarray(sampling.corrupt_heads(key, dkg, t, r)),
+            np.asarray(sampling.corrupt_heads(key, ckg, t, r)))
+        bd = sampling.corrupt_batch(key, dkg, h, r, t, n_neg=4, bern=True)
+        bc = sampling.corrupt_batch(key, ckg, h, r, t, n_neg=4, bern=True)
+        np.testing.assert_array_equal(np.asarray(bd.neg_h), np.asarray(bc.neg_h))
+        np.testing.assert_array_equal(np.asarray(bd.neg_t), np.asarray(bc.neg_t))
+
+    # membership on true triples and on absent (row missing) queries
+    probe_h = jnp.concatenate([h, jnp.asarray([0, 1, 2], jnp.int32)])
+    probe_r = jnp.concatenate([r, jnp.asarray([0, 0, 1], jnp.int32)])
+    probe_t = jnp.concatenate([t, jnp.asarray([3, 4, 5], jnp.int32)])
+    np.testing.assert_array_equal(
+        np.asarray(sampling._contains(dkg, probe_h, probe_r, probe_t)),
+        np.asarray(sampling._contains(ckg, probe_h, probe_r, probe_t)))
+
+    from mre_tpu.ops.ranking import _filter_mask
+    for side in ("tail", "head"):
+        anchors = h if side == "tail" else t
+        np.testing.assert_array_equal(
+            np.asarray(_filter_mask(dkg, anchors, r, side, dkg.n_entities, 64)),
+            np.asarray(_filter_mask(ckg, anchors, r, side, ckg.n_entities, 64)))
