@@ -35,8 +35,11 @@ def _score_and_rank(cand_emb, rel_vecs, cand_mask):
     inflating Hits@k for quantized cosine scores."""
     emb = cand_emb / jnp.maximum(jnp.linalg.norm(cand_emb, axis=-1, keepdims=True), 1e-12)
     rv = rel_vecs / jnp.maximum(jnp.linalg.norm(rel_vecs, axis=-1, keepdims=True), 1e-12)
-    scores = jnp.einsum("qcd,sd->qcs", emb, rv,
-                        preferred_element_type=jnp.float32).mean(-1)   # [Q, C]
+    # mean-of-cosines is linear in the relation samples: fold the S vectors
+    # into one before the matmul (exact, S× fewer MACs).
+    vbar = rv.mean(0)
+    scores = jnp.einsum("qcd,d->qc", emb, vbar,
+                        preferred_element_type=jnp.float32)            # [Q, C]
     true_s = scores[:, :1]
     valid = cand_mask.at[:, 0].set(False)
     better = jnp.sum(jnp.logical_and(scores >= true_s, valid), axis=1)
