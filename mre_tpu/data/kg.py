@@ -318,6 +318,9 @@ def _row_range(offsets: jnp.ndarray, row_keys: jnp.ndarray | None,
     if row_keys is None:
         start = offsets[rows]
         return start, (offsets[rows + 1] - start).astype(jnp.int32), rows
+    if row_keys.shape[0] == 0:        # degenerate zero-triple KG
+        zero = jnp.zeros_like(rows)
+        return zero, zero, zero
     idx = jnp.clip(jnp.searchsorted(row_keys, rows), 0, row_keys.shape[0] - 1)
     found = row_keys[idx] == rows
     start = offsets[idx]
