@@ -302,7 +302,8 @@ def _compact_rows(offsets: np.ndarray, big_index: np.ndarray):
     """Compact a dense CSR over the (e, r) row space to present-rows-only:
     sorted int32 row keys, [U+1] offsets, and the big-row index re-based to
     compact positions. Exactly the ``searchsorted`` fallback documented at
-    the dense-offset build above."""
+    the dense-offset build above. int32 keys are safe: TripleTable.build
+    rejects E·R ≥ 2³¹ outright (same bound device row ids live under)."""
     sizes = np.diff(offsets)
     keys = np.nonzero(sizes > 0)[0]
     comp = np.concatenate([offsets[keys], offsets[-1:]])

@@ -76,7 +76,8 @@ class TrainDataLoader:
 
     def __init__(self, in_path="./", nbatches=100, threads=8, sampling_mode="normal",
                  bern_flag=0, filter_flag=1, neg_ent=1, neg_rel=0,
-                 batch_size=None, backend="native", seed=None, p=False):
+                 batch_size=None, backend="native", seed=None, p=False,
+                 p_temp=1.0):
         self.in_path = in_path
         self.nbatches = nbatches
         self.sampling_mode = sampling_mode
@@ -86,6 +87,9 @@ class TrainDataLoader:
         self.neg_rel = neg_rel
         self.backend = backend
         self.p = bool(p)     # kl_prob-weighted relation corruption (importProb)
+        if self.p and backend != "native":
+            raise ValueError("p=True (kl_prob-weighted relation corruption) "
+                             "requires backend='native'")
         self._cross_flag = 0
 
         for required in ("entity2id.txt", "relation2id.txt", "train2id.txt"):
@@ -100,6 +104,10 @@ class TrainDataLoader:
             self.lib.setWorkThreads(threads)
             self.lib.setBern(1 if self.bern else 0)
             self.lib.importTrainFiles()
+            if self.p:
+                # kl_prob-weighted relation corruption needs the softmax
+                # table from <in_path>/kl_prob.txt (Reader.h:25-50).
+                self.lib.importProb(p_temp)
             if seed is not None:
                 self.lib.setSeed(seed)
             else:

@@ -50,11 +50,27 @@ def _head_group(num_heads: int, n_pad: int) -> int:
 def pallas_attention_profitable(head_dim: int, num_heads: int = 0) -> bool:
     """hd ≥ 64 fills ≥ half the 128-wide lanes (measured: +14% at hd=64 on
     v5e). Smaller heads go through the lane-packed kernel, profitable when
-    128/hd of them can be packed into the lane dimension."""
+    128/hd of them can be packed into the lane dimension (callers must pass
+    ``num_heads``; 0 = unknown → not profitable)."""
     if head_dim >= 64:
         return True
     pack = 128 // max(head_dim, 1)
-    return head_dim >= 16 and num_heads % pack == 0
+    return head_dim >= 16 and num_heads > 0 and num_heads % pack == 0
+
+
+def _packed_pack(num_heads: int, n_pad: int, hd: int) -> int:
+    """Largest pack P (dividing num_heads, ≤ 128//hd) whose in-kernel f32
+    temporaries — Q_blk/out4 [P·N, P·hd] ×2, att [P·N, N], K4/V4 [N, P·hd]
+    — fit the VMEM budget. Returns 1 when packing can't fit (caller falls
+    back to the per-head grouped kernel)."""
+    for p in range(min(128 // hd, num_heads), 1, -1):
+        if num_heads % p:
+            continue
+        temps = 8 * p * p * n_pad * hd + 4 * p * n_pad * n_pad \
+            + 8 * p * n_pad * hd
+        if temps <= _VMEM_TEMP_BUDGET:
+            return p
+    return 1
 
 
 def _attention_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, scale, group):
@@ -88,10 +104,19 @@ def _attention_kernel_packed(q_ref, k_ref, v_ref, mask_ref, out_ref, *,
     """
     n_pad, hd = q_ref.shape[2], q_ref.shape[3]
     pad = mask_ref[0]                                   # [1, N] 1.0 = PAD
-    q_blk = jnp.zeros((pack * n_pad, pack * hd), jnp.float32)
+    # Block-diagonal Q from static concats (Mosaic has no in-kernel scatter).
+    blocks = []
     for h in range(pack):
-        q_blk = q_blk.at[h * n_pad:(h + 1) * n_pad,
-                         h * hd:(h + 1) * hd].set(q_ref[0, h].astype(jnp.float32))
+        q_h = q_ref[0, h].astype(jnp.float32)
+        pieces = []
+        if h:
+            pieces.append(jnp.zeros((n_pad, h * hd), jnp.float32))
+        pieces.append(q_h)
+        if pack - 1 - h:
+            pieces.append(jnp.zeros((n_pad, (pack - 1 - h) * hd), jnp.float32))
+        blocks.append(jnp.concatenate(pieces, axis=-1) if len(pieces) > 1
+                      else pieces[0])
+    q_blk = jnp.concatenate(blocks, axis=0)             # [P·N, P·hd]
     k4 = jnp.concatenate([k_ref[0, h].astype(jnp.float32)
                           for h in range(pack)], axis=-1)  # [N, P·hd]
     v4 = jnp.concatenate([v_ref[0, h].astype(jnp.float32)
@@ -131,8 +156,8 @@ def _pallas_forward(q, k, v, padding_mask, scale, interpret=False):
     maskp = jnp.pad(padding_mask.astype(jnp.float32), ((0, 0), (0, n_pad - N)),
                     constant_values=1.0)[:, None, :]
 
-    if hd < 64 and H % (128 // hd) == 0:
-        G = 128 // hd          # lane-packed: one pack of heads per program
+    G = _packed_pack(H, n_pad, hd) if hd < 64 else 1
+    if G > 1:                  # lane-packed: one pack of heads per program
         kernel = functools.partial(_attention_kernel_packed, scale=scale, pack=G)
     else:
         G = _head_group(H, n_pad)

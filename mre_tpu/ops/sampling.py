@@ -294,7 +294,11 @@ def corrupt_relations(key: jax.Array, kg: DeviceKG, r: jnp.ndarray,
     u = jax.random.randint(key, (B, n_neg), 0,
                            jnp.maximum(kg.n_relations - k, 1)[:, None])
     shift = jnp.sum(d[:, None, :] <= u[:, :, None], axis=-1)
-    return (u + shift).astype(jnp.int32)
+    sample = (u + shift).astype(jnp.int32)
+    # Degenerate pair with every relation true: the complement is empty, so
+    # return the positive r itself (sampler.cpp / Corrupt.h:95-134 guard
+    # `if (k >= relationTotal) return r`) instead of an out-of-range id.
+    return jnp.where((k >= kg.n_relations)[:, None], r[:, None], sample)
 
 
 def corrupt_within_nodes(key: jax.Array, kg: DeviceKG, n_id: jnp.ndarray,

@@ -219,3 +219,27 @@ def test_native_workthreads_resize_after_seed(bench_dir):
     lib.sampling(bh.ctypes.data, bt.ctypes.data, br.ctypes.data,
                  by.ctypes.data, n, 2, 0, 0, True, False, False)
     assert (by[:n] == 1).all() and (by[n:] == -1).all()
+
+
+def test_train_loader_p_flag_imports_prob(bench_dir, native_lib):
+    """TrainDataLoader(p=True) must actually load the kl_prob table (the
+    flag was previously dead — importProb was never called)."""
+    import os
+
+    from mre_tpu.openke.data import TrainDataLoader, read_benchmark
+
+    bench = read_benchmark(bench_dir)
+    R = bench["n_relations"]
+    with open(os.path.join(bench_dir, "kl_prob.txt"), "w") as f:
+        for _ in range(R):
+            f.write(" ".join("1.0" for _ in range(R - 1)) + "\n")
+    loader = TrainDataLoader(in_path=bench_dir, nbatches=4, neg_rel=1,
+                             p=True, seed=3)
+    assert loader.lib.hasProb() == 1
+    batch = next(iter(loader))
+    assert batch["batch_r"].shape[0] == loader.batch_size * 3
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        TrainDataLoader(in_path=bench_dir, nbatches=4, p=True, backend="jax")

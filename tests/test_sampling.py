@@ -159,3 +159,22 @@ def test_compact_device_kg_matches_dense(tiny_kg, dkg):
         np.testing.assert_array_equal(
             np.asarray(_filter_mask(dkg, anchors, r, side, dkg.n_entities, 64)),
             np.asarray(_filter_mask(ckg, anchors, r, side, ckg.n_entities, 64)))
+
+
+def test_corrupt_relations_all_true_returns_positive(tiny_kg):
+    """Pair with every relation true: empty complement → return the positive
+    r itself (native guard `k >= relationTotal → r`, sampler.cpp)."""
+    R = tiny_kg.n_relations
+    h0, t0 = 0, 1
+    triples = np.array([[h0, rr, t0] for rr in range(R)]
+                       + [[2, 0, 3], [3, 1, 4]], np.int32)
+    from mre_tpu.data.kg import TripleTable
+    table = TripleTable.build(triples, tiny_kg.n_entities, R)
+    kg = DeviceKG.from_table(table)
+    r = jnp.asarray([2, 0], jnp.int32)
+    h = jnp.asarray([h0, 2], jnp.int32)
+    t = jnp.asarray([t0, 3], jnp.int32)
+    neg = np.asarray(sampling.corrupt_relations(
+        jax.random.key(0), kg, r, n_neg=8, h=h, t=t))
+    assert (neg[0] == 2).all()                     # degenerate row → positive
+    assert (neg[1] != 0).all() and (neg[1] < R).all()   # normal row filtered
