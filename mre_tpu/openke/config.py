@@ -93,10 +93,11 @@ class Tester:
             base_predict = fn.predict
             fn = dataclasses.replace(
                 fn, predict=lambda p, h, r, t: base_predict(p, h, r, t, **kwargs))
-        all_tails, all_heads = ranking.make_predict_all(fn, params, kg)
+        all_tails, all_heads = ranking.make_predict_all(fn, kg)
         filter_pad = int(max(np.max(np.diff(table.hr_offsets)), np.max(np.diff(table.tr_offsets)), 1))
-        res = ranking.link_prediction(all_tails, all_heads, kg, bench["test"],
-                                      filter_pad=filter_pad, type_constraints=tc)
+        res = ranking.link_prediction(all_tails, all_heads, params, kg,
+                                      bench["test"], filter_pad=filter_pad,
+                                      type_constraints=tc)
         key = "filter_tc" if type_constrain else "filter"
         m = res[key]
         print(f"MRR: {m.mrr:.6f}  MR: {m.mr:.1f}  Hits@10: {m.hits10:.6f}  "

@@ -65,16 +65,16 @@ def _filter_mask(kg: DeviceKG, anchors: jnp.ndarray, r: jnp.ndarray, side: str,
     return mask[:, :n_entities]
 
 
-def _rank_chunk(predict_all: Callable, kg: DeviceKG, h, r, t, side: str,
+def _rank_chunk(predict_all: Callable, params, kg: DeviceKG, h, r, t, side: str,
                 filter_pad: int, type_mask: jnp.ndarray | None = None):
     """Ranks for one chunk. Returns (raw_rank, filt_rank[, c_raw, c_filt])."""
     n_ent = kg.n_entities
     if side == "tail":
-        scores = predict_all(h, r)                     # [B, E] lower = better
+        scores = predict_all(params, h, r)             # [B, E] lower = better
         true_idx = t
         known = _filter_mask(kg, h, r, "tail", n_ent, filter_pad)
     else:
-        scores = predict_all(t, r)
+        scores = predict_all(params, t, r)
         true_idx = h
         known = _filter_mask(kg, t, r, "head", n_ent, filter_pad)
 
@@ -104,10 +104,17 @@ def _metrics(ranks: np.ndarray) -> RankResults:
 
 
 def link_prediction(predict_all_tails: Callable, predict_all_heads: Callable,
-                    kg_filter: DeviceKG, test_triples: np.ndarray,
+                    params, kg_filter: DeviceKG, test_triples: np.ndarray,
                     chunk: int = 256, filter_pad: int | None = None,
                     type_constraints=None) -> dict[str, RankResults]:
     """Run head+tail link prediction over all test triples.
+
+    ``params`` is the model pytree the predict callables consume; it and
+    ``kg_filter`` are threaded through the jit as ARGUMENTS, never closure
+    constants — closure-captured tables get baked into the serialized
+    program, which breaks remote-compile backends at large dims (a dim-1024
+    RotatE table is ~335 MB of HLO constants) and fails outright when a
+    checkpoint resume leaves numpy arrays in the pytree.
 
     ``kg_filter`` must index the *union* of train/valid/test triples
     (Test.h filters against tripleList = all splits; Reader.h:166-257).
@@ -131,11 +138,13 @@ def link_prediction(predict_all_tails: Callable, predict_all_heads: Callable,
     head_ranks, tail_ranks = [], []
     c_head_ranks, c_tail_ranks = [], []
 
+    params = jax.tree.map(jnp.asarray, params)
+
     @functools.partial(jax.jit, static_argnames=())
-    def run_chunk(h, r, t, head_tm, tail_tm):
-        tail_out = _rank_chunk(predict_all_tails, kg_filter, h, r, t, "tail",
+    def run_chunk(params, kg, h, r, t, head_tm, tail_tm):
+        tail_out = _rank_chunk(predict_all_tails, params, kg, h, r, t, "tail",
                                filter_pad, tail_tm)
-        head_out = _rank_chunk(predict_all_heads, kg_filter, h, r, t, "head",
+        head_out = _rank_chunk(predict_all_heads, params, kg, h, r, t, "head",
                                filter_pad, head_tm)
         return tail_out, head_out
 
@@ -148,7 +157,8 @@ def link_prediction(predict_all_tails: Callable, predict_all_heads: Callable,
             tail_tm = jnp.asarray(type_constraints[1])[r]
         else:
             head_tm = tail_tm = None
-        tail_out, head_out = run_chunk(h, r, t, head_tm, tail_tm)
+        tail_out, head_out = run_chunk(params, kg_filter, h, r, t,
+                                       head_tm, tail_tm)
         tail_ranks.append(np.stack([np.asarray(x) for x in tail_out[:2]], 1))
         head_ranks.append(np.stack([np.asarray(x) for x in head_out[:2]], 1))
         if tc:
@@ -168,8 +178,10 @@ def link_prediction(predict_all_tails: Callable, predict_all_heads: Callable,
     return out
 
 
-def make_predict_all(model, params, kg: DeviceKG, ent_chunk: int = 4096):
-    """Build (predict_all_tails, predict_all_heads) [B, E] scorers.
+def make_predict_all(model, kg: DeviceKG, ent_chunk: int = 4096):
+    """Build (predict_all_tails, predict_all_heads) ``(params, anchor, r) →
+    [B, E]`` scorers. Params stay a call-time argument (see link_prediction
+    — closure-captured tables break remote-compile at large dims).
 
     Uses the model's MXU matmul fast path when available; otherwise a
     broadcast fallback chunked over entities to bound memory.
@@ -177,10 +189,10 @@ def make_predict_all(model, params, kg: DeviceKG, ent_chunk: int = 4096):
     n_ent = kg.n_entities
 
     if model.score_all_tails is not None:
-        def all_tails(h, r):
+        def all_tails(params, h, r):
             return model.score_all_tails(params, h, r)
     else:
-        def all_tails(h, r):
+        def all_tails(params, h, r):
             def score_ent_chunk(e0):
                 ents = e0 + jnp.arange(ent_chunk)
                 ents = jnp.minimum(ents, n_ent - 1)
@@ -190,10 +202,10 @@ def make_predict_all(model, params, kg: DeviceKG, ent_chunk: int = 4096):
             return jnp.moveaxis(parts, 0, 1).reshape(h.shape[0], -1)[:, :n_ent]
 
     if model.score_all_heads is not None:
-        def all_heads(t, r):
+        def all_heads(params, t, r):
             return model.score_all_heads(params, t, r)
     else:
-        def all_heads(t, r):
+        def all_heads(params, t, r):
             def score_ent_chunk(e0):
                 ents = e0 + jnp.arange(ent_chunk)
                 ents = jnp.minimum(ents, n_ent - 1)

@@ -222,12 +222,13 @@ class KGETrainer:
 
             model = dataclasses.replace(model, predict=predict)
 
-        all_tails, all_heads = ranking.make_predict_all(model, params, filt)
+        all_tails, all_heads = ranking.make_predict_all(model, filt)
         filter_pad = int(max(
             np.max(np.diff(filter_table.hr_offsets)) if filter_table is not None else np.max(np.diff(self.table.hr_offsets)),
             np.max(np.diff(filter_table.tr_offsets)) if filter_table is not None else np.max(np.diff(self.table.tr_offsets)),
             1,
         ))
-        return ranking.link_prediction(all_tails, all_heads, filt, test_triples,
-                                       chunk=chunk, filter_pad=filter_pad,
+        return ranking.link_prediction(all_tails, all_heads, params, filt,
+                                       test_triples, chunk=chunk,
+                                       filter_pad=filter_pad,
                                        type_constraints=type_constraints)

@@ -45,8 +45,8 @@ def brute_force_ranks(table, model, params, test, side):
 def test_link_prediction_matches_bruteforce(setup):
     table, model, params, dkg = setup
     test = table.triples[:40]
-    all_tails, all_heads = ranking.make_predict_all(model, params, dkg, ent_chunk=16)
-    res = ranking.link_prediction(all_tails, all_heads, dkg, test, chunk=16, filter_pad=64)
+    all_tails, all_heads = ranking.make_predict_all(model, dkg, ent_chunk=16)
+    res = ranking.link_prediction(all_tails, all_heads, params, dkg, test, chunk=16, filter_pad=64)
 
     bf_tail = brute_force_ranks(table, model, params, test, "tail")
     bf_head = brute_force_ranks(table, model, params, test, "head")
@@ -65,8 +65,8 @@ def test_fast_path_model_matches_bruteforce(setup, tiny_kg):
     params = model.init(jax.random.key(1), table.n_entities, table.n_relations, dim=16)
     dkg = DeviceKG.from_table(table)
     test = table.triples[:24]
-    all_tails, all_heads = ranking.make_predict_all(model, params, dkg)
-    res = ranking.link_prediction(all_tails, all_heads, dkg, test, chunk=8, filter_pad=64)
+    all_tails, all_heads = ranking.make_predict_all(model, dkg)
+    res = ranking.link_prediction(all_tails, all_heads, params, dkg, test, chunk=8, filter_pad=64)
     bf_tail = brute_force_ranks(table, model, params, test, "tail")
     bf_head = brute_force_ranks(table, model, params, test, "head")
     filt = np.concatenate([bf_tail[:, 1], bf_head[:, 1]]).astype(np.float64)
@@ -96,3 +96,18 @@ def test_triple_classification_threshold():
     thr, acc = ranking.triple_classification_threshold(pos, neg)
     assert acc == 1.0
     assert 0.3 <= thr < 0.5
+
+
+def test_link_prediction_accepts_numpy_params(setup):
+    """Checkpoint resume leaves numpy arrays in the params pytree; the
+    evaluator must convert them (numpy[tracer] indexing fails otherwise,
+    and closure-captured tables would be baked into the program)."""
+    table, model, params, dkg = setup
+    np_params = jax.tree.map(lambda x: np.asarray(x), params)
+    test = table.triples[:8]
+    all_tails, all_heads = ranking.make_predict_all(model, dkg, ent_chunk=16)
+    res = ranking.link_prediction(all_tails, all_heads, np_params, dkg, test,
+                                  chunk=8, filter_pad=64)
+    ref = ranking.link_prediction(all_tails, all_heads, params, dkg, test,
+                                  chunk=8, filter_pad=64)
+    assert res["filter"].mrr == ref["filter"].mrr
