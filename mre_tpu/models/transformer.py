@@ -115,7 +115,8 @@ class Attention(nn.Module):
                       or (self.attention_impl == "auto"
                           and _pallas_attention_available()
                           and pallas_attention_profitable(head_dim,
-                                                          self.num_heads)))
+                                                          self.num_heads,
+                                                          batch)))
         if use_pallas and (self.att_drop == 0.0 or deterministic):
             from mre_tpu.ops.pallas.attention import fused_attention
 

@@ -47,15 +47,18 @@ def _head_group(num_heads: int, n_pad: int) -> int:
     return 1
 
 
-def pallas_attention_profitable(head_dim: int, num_heads: int = 0) -> bool:
+def pallas_attention_profitable(head_dim: int, num_heads: int = 0,
+                                batch: int | None = None) -> bool:
     """hd ≥ 64 fills ≥ half the 128-wide lanes (measured: +14% at hd=64 on
-    v5e). Smaller heads go through the lane-packed kernel, profitable when
-    128/hd of them can be packed into the lane dimension (callers must pass
-    ``num_heads``; 0 = unknown → not profitable)."""
+    v5e). Smaller heads go through the lane-packed kernel — measured
+    profitable only at small batch (decoder B12 H16 N321 hd32: +49% vs XLA;
+    B48: −31%, where XLA's big batched einsum wins). Callers must pass
+    ``num_heads`` (0 = unknown → not profitable) and ``batch``."""
     if head_dim >= 64:
         return True
     pack = 128 // max(head_dim, 1)
-    return head_dim >= 16 and num_heads > 0 and num_heads % pack == 0
+    return (head_dim >= 16 and num_heads > 0 and num_heads % pack == 0
+            and batch is not None and batch * num_heads <= 256)
 
 
 def _packed_pack(num_heads: int, n_pad: int, hd: int) -> int:
