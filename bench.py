@@ -76,29 +76,38 @@ def run_device(symbols, connections, degrees, rel_vecs, pairs, ents):
 
     L, R = jax.jit(_tables)()
 
-    chunk = int(os.environ.get("BENCH_CHUNK", "128"))  # queries per device call
-
-    @jax.jit
-    def score_chunk(left, right, rel_vecs_d):
-        emb = extractor.apply({"params": params}, L, R, left, right,
-                              method=extractor.embed_pairs_factored)
-        emb = emb.reshape(chunk, C, EMB_DIM)
-        mask = jnp.ones((chunk, C), bool)
-        return _score_and_rank(emb, rel_vecs_d, mask)
+    chunk = int(os.environ.get("BENCH_CHUNK", "128"))  # scan step width
 
     rel_vecs_d = jnp.asarray(rel_vecs)
 
-    # pre-stage chunk inputs on device (in production the async host
-    # pipeline overlaps these transfers with compute; the relay tunnel's
-    # transfer jitter would otherwise dominate the measurement)
-    staged = []
-    for i in range(0, Q_DEVICE, chunk):
-        staged.append((jnp.asarray(ents[i:i + chunk, :, 0].reshape(-1)),
-                       jnp.asarray(ents[i:i + chunk, :, 1].reshape(-1))))
+    # the whole workload is ONE device program: lax.scan over query chunks
+    # inside a single jit (per-call dispatch through the relay tunnel costs
+    # ~ms; 16 separate chunk calls were dispatch-bound, not compute-bound).
+    # ``chunk`` bounds the per-step intermediates ([chunk·C, 2·D] in the
+    # SupportEncoder), not the dispatch count.
+    @jax.jit
+    def score_all(lefts, rights, rel_vecs_d):
+        # lefts/rights: [n_chunks, chunk*C]
+        def step(_, lr):
+            l, r = lr
+            emb = extractor.apply({"params": params}, L, R, l, r,
+                                  method=extractor.embed_pairs_factored)
+            emb = emb.reshape(chunk, C, EMB_DIM)
+            mask = jnp.ones((chunk, C), bool)
+            return None, _score_and_rank(emb, rel_vecs_d, mask)
+
+        _, ranks = jax.lax.scan(step, None, (lefts, rights))
+        return ranks.reshape(-1)
+
+    # staged device-resident inputs (in production the async host pipeline
+    # overlaps these transfers with compute; the relay tunnel's transfer
+    # jitter would otherwise dominate the measurement)
+    n_chunks = Q_DEVICE // chunk
+    lefts = jnp.asarray(ents[:, :, 0].reshape(n_chunks, chunk * C))
+    rights = jnp.asarray(ents[:, :, 1].reshape(n_chunks, chunk * C))
 
     def run_all():
-        ranks = [score_chunk(l, r, rel_vecs_d) for l, r in staged]
-        return jax.block_until_ready(jnp.concatenate(ranks))
+        return jax.block_until_ready(score_all(lefts, rights, rel_vecs_d))
 
     log("device: compiling...")
     run_all()
@@ -109,17 +118,14 @@ def run_device(symbols, connections, degrees, rel_vecs, pairs, ents):
         run_all()
         best = min(best, time.perf_counter() - t0)
 
-    # end-to-end variant: host→device transfers of every chunk input inside
-    # the timed region (no pre-staging, no overlap). On a relay-attached
-    # chip this is bounded by the tunnel's transfer bandwidth, not the TPU —
+    # end-to-end variant: host→device transfer of the query ids inside the
+    # timed region (no pre-staging, no overlap). On a relay-attached chip
+    # this is bounded by the tunnel's transfer bandwidth, not the TPU —
     # reported alongside for transparency.
     def run_all_e2e():
-        ranks = []
-        for i in range(0, Q_DEVICE, chunk):
-            l = jnp.asarray(ents[i:i + chunk, :, 0].reshape(-1))
-            r = jnp.asarray(ents[i:i + chunk, :, 1].reshape(-1))
-            ranks.append(score_chunk(l, r, rel_vecs_d))
-        return jax.block_until_ready(jnp.concatenate(ranks))
+        l = jnp.asarray(ents[:, :, 0].reshape(n_chunks, chunk * C))
+        r = jnp.asarray(ents[:, :, 1].reshape(n_chunks, chunk * C))
+        return jax.block_until_ready(score_all(l, r, rel_vecs_d))
 
     run_all_e2e()
     best_e2e = float("inf")
