@@ -57,6 +57,38 @@ def metrics_from_ranks(ranks: np.ndarray) -> dict:
     )
 
 
+def _rank_stream(embed_query_pairs: Callable, pairs, left, right, mask, vbar,
+                 chunk: int, c_max: int):
+    """Rank a padded query stream in ONE device program.
+
+    All relations' queries are concatenated into one [Q_pad, c_max] stream
+    with a per-query folded relation vector ``vbar`` [Q_pad, D]; a
+    ``lax.scan`` over fixed-width chunks inside a single jit amortizes the
+    per-call dispatch (which dominates on remote-attached chips) and keeps
+    exactly ONE compiled shape regardless of per-relation query counts.
+    """
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run(pairs, left, right, mask, vbar):
+        def step(_, x):
+            p, l, r, m, v = x
+            emb = embed_query_pairs(p.reshape(-1, 2), l.reshape(-1),
+                                    r.reshape(-1))
+            emb = emb.reshape(chunk, c_max, -1)
+            emb = emb / jnp.maximum(
+                jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+            scores = jnp.einsum("qcd,qd->qc", emb, v,
+                                preferred_element_type=jnp.float32)
+            true_s = scores[:, :1]
+            valid = m.at[:, 0].set(False)
+            return None, jnp.sum(jnp.logical_and(scores >= true_s, valid), 1) + 1
+
+        _, ranks = jax.lax.scan(step, None, (pairs, left, right, mask, vbar))
+        return ranks.reshape(-1)
+
+    return np.asarray(run(pairs, left, right, mask, vbar))
+
+
 def evaluate_zero_shot(test_candidates: dict, symbol2id: dict, e2id: dict,
                        rel2id: dict, embed_query_pairs: Callable,
                        generate_relation_vecs: Callable,
@@ -65,53 +97,78 @@ def evaluate_zero_shot(test_candidates: dict, symbol2id: dict, e2id: dict,
 
     ``embed_query_pairs(pairs [N,2] symbol ids, left [N], right [N]) → [N, D]``
     (the Extractor, eval mode); ``generate_relation_vecs(rel_name) → [S, D]``.
+
+    Host side builds one id-mapped stream over ALL relations; device side is
+    one scanned jit (see ``_rank_stream``). Tie semantics are pessimistic
+    (1 + #greater + #tied), matching the reference's descending argsort.
     """
-    all_ranks = []
     per_relation = {}
 
     # global pad width so the jitted scorer compiles once
     c_max = 1
-    for rel, queries in test_candidates.items():
-        for cands in queries.values():
+    rel_order = list(test_candidates.keys())
+    for rel in rel_order:
+        for cands in test_candidates[rel].values():
             c_max = max(c_max, len(cands))
 
-    for rel, queries in test_candidates.items():
-        rel_vecs = jnp.asarray(generate_relation_vecs(rel))
-        keys = list(queries.keys())
-        ranks_rel = []
-        for i in range(0, len(keys), query_chunk):
-            chunk_keys = keys[i:i + query_chunk]
-            Q = query_chunk
-            pairs = np.zeros((Q, c_max, 2), np.int32)
-            left = np.zeros((Q, c_max), np.int32)
-            right = np.zeros((Q, c_max), np.int32)
-            mask = np.zeros((Q, c_max), bool)
-            for qi, key in enumerate(chunk_keys):
-                head, _, _ = key.split("\t")
-                cands = queries[key]          # true tail first
-                n = len(cands)
-                pairs[qi, :n, 0] = symbol2id[head]
-                pairs[qi, :n, 1] = [symbol2id[c] for c in cands]
-                left[qi, :n] = e2id[head]
-                right[qi, :n] = [e2id[c] for c in cands]
-                mask[qi, :n] = True
+    # one host pass: map ids for every query of every relation
+    counts = []
+    pairs_l, left_l, right_l, mask_l, vbar_l = [], [], [], [], []
+    for rel in rel_order:
+        queries = test_candidates[rel]
+        rv = np.asarray(generate_relation_vecs(rel), np.float32)
+        rv = rv / np.maximum(np.linalg.norm(rv, axis=-1, keepdims=True), 1e-12)
+        vbar = rv.mean(0)
+        counts.append(len(queries))
+        for key, cands in queries.items():
+            head, _, _ = key.split("\t")
+            n = len(cands)
+            p = np.zeros((c_max, 2), np.int32)
+            l = np.zeros(c_max, np.int32)
+            r = np.zeros(c_max, np.int32)
+            m = np.zeros(c_max, bool)
+            p[:n, 0] = symbol2id[head]
+            p[:n, 1] = [symbol2id[c] for c in cands]
+            l[:n] = e2id[head]
+            r[:n] = [e2id[c] for c in cands]
+            m[:n] = True
+            pairs_l.append(p); left_l.append(l); right_l.append(r)
+            mask_l.append(m); vbar_l.append(vbar)
 
-            emb = embed_query_pairs(
-                jnp.asarray(pairs.reshape(-1, 2)),
-                jnp.asarray(left.reshape(-1)),
-                jnp.asarray(right.reshape(-1)))
-            emb = emb.reshape(Q, c_max, -1)
-            ranks = np.asarray(_score_and_rank(emb, rel_vecs, jnp.asarray(mask)))
-            ranks_rel.extend(ranks[:len(chunk_keys)].tolist())
+    n_q = len(pairs_l)
+    if n_q == 0:
+        overall = metrics_from_ranks(np.asarray([1.0]))
+        overall["per_relation"] = {}
+        return overall
+    pad_q = ((n_q + query_chunk - 1) // query_chunk) * query_chunk
+    D = vbar_l[0].shape[0]
+    for _ in range(pad_q - n_q):
+        pairs_l.append(np.zeros((c_max, 2), np.int32))
+        left_l.append(np.zeros(c_max, np.int32))
+        right_l.append(np.zeros(c_max, np.int32))
+        mask_l.append(np.zeros(c_max, bool))
+        vbar_l.append(np.zeros(D, np.float32))
 
-        per_relation[rel] = metrics_from_ranks(np.asarray(ranks_rel))
-        all_ranks.extend(ranks_rel)
+    nc = pad_q // query_chunk
+    ranks = _rank_stream(
+        embed_query_pairs,
+        jnp.asarray(np.stack(pairs_l).reshape(nc, query_chunk, c_max, 2)),
+        jnp.asarray(np.stack(left_l).reshape(nc, query_chunk, c_max)),
+        jnp.asarray(np.stack(right_l).reshape(nc, query_chunk, c_max)),
+        jnp.asarray(np.stack(mask_l).reshape(nc, query_chunk, c_max)),
+        jnp.asarray(np.stack(vbar_l).reshape(nc, query_chunk, D)),
+        query_chunk, c_max)[:n_q]
+
+    off = 0
+    for rel, cnt in zip(rel_order, counts):
+        per_relation[rel] = metrics_from_ranks(ranks[off:off + cnt])
+        off += cnt
         if verbose:
             m = per_relation[rel]
             print(f"{rel} Hits10:{m['hits10']:.3f}, Hits5:{m['hits5']:.3f}, "
                   f"Hits1:{m['hits1']:.3f} MRR:{m['mrr']:.3f}")
 
-    overall = metrics_from_ranks(np.asarray(all_ranks))
+    overall = metrics_from_ranks(ranks)
     if verbose:
         print(f"OVERALL HITS10: {overall['hits10']:.3f}  HITS5: {overall['hits5']:.3f}  "
               f"HITS1: {overall['hits1']:.3f}  MRR: {overall['mrr']:.3f}")
