@@ -144,6 +144,8 @@ def main(argv=None):
     parser.add_argument("--eval_only", action="store_true")
     parser.add_argument("--eval_chunk", type=int, default=64)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--tag", default="",
+                        help="suffix for result/ckpt filenames (seed/budget variants)")
     parser.add_argument("--out_dir", default=os.path.join(os.path.dirname(os.path.abspath(__file__)), "results"))
     args = parser.parse_args(argv)
 
@@ -154,8 +156,9 @@ def main(argv=None):
     from mre_tpu.train.kge import KGETrainer, KGETrainerConfig
 
     os.makedirs(args.out_dir, exist_ok=True)
-    ckpt_path = os.path.join(args.out_dir, f"{args.recipe}.ckpt")
-    result_path = os.path.join(args.out_dir, f"{args.recipe}.json")
+    stem = args.recipe + (f"_{args.tag}" if args.tag else "")
+    ckpt_path = os.path.join(args.out_dir, f"{stem}.ckpt")
+    result_path = os.path.join(args.out_dir, f"{stem}.json")
 
     bench = read_benchmark(args.in_path)
     train_table = TripleTable.build(bench["train"], bench["n_entities"], bench["n_relations"])
@@ -210,8 +213,10 @@ def main(argv=None):
     row = {
         "recipe": args.recipe, "dataset": dataset, "model": cfg.model,
         "train_times": cfg.train_times, "eval_seconds": round(eval_s, 1),
-        "published_hits10": published,
+        "published_hits10": published, "seed": args.seed,
     }
+    if args.tag:
+        row["tag"] = args.tag
     for split in ("raw", "filter"):
         m = res[split]
         row[split] = {"mrr": round(float(m.mrr), 4), "mr": round(float(m.mr), 1),

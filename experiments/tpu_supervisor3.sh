@@ -1,0 +1,82 @@
+#!/bin/bash
+# Round-3 serial TPU job supervisor: polls a spool directory for job files.
+#
+# Motivation (see CLAUDE.md / NOTES_NEXT_ROUND.md): the axon TPU tunnel
+# wedges if two clients ever run concurrently, and occasionally on its own
+# (client sits idle, log stops advancing). All TPU work therefore runs
+# SERIALLY through this one supervisor. Jobs checkpoint/resume or are
+# idempotent, so recovery is always: kill the wedged client by pid, wait,
+# relaunch the same command.
+#
+# Spool protocol: experiments/queue/NN_name.job is a bash fragment defining
+#   RESULT=<file whose existence marks the job done>
+#   CMD() { <the command to run, foreground>; }
+# Jobs run in lexicographic order. A job whose RESULT exists is archived to
+# .done. New job files may be appended at any time; the supervisor re-polls.
+# Touch experiments/queue/STOP to make the supervisor exit once idle.
+set -u
+cd "$(dirname "$0")/.."
+export PYTHONPATH=/root/repo:/root/.axon_site
+export JAX_PLATFORMS=axon
+
+STALL_S=900          # log silent this long while the pid lives == wedged
+RECOVER_S=120        # tunnel recovery pause after killing a wedged client
+Q=experiments/queue
+mkdir -p "$Q" "$Q/.done"
+
+log() { echo "[sup3 $(date +%H:%M:%S)] $*"; }
+
+fresh() {  # fresh <file> — mtime younger than STALL_S?
+  [ -f "$1" ] && [ $(( $(date +%s) - $(stat -c %Y "$1") )) -lt "$STALL_S" ]
+}
+
+babysit() {  # babysit <pid> <logfile> — wait for exit; kill if log stalls
+  local pid="$1" logf="$2"
+  while kill -0 "$pid" 2>/dev/null; do
+    sleep 60
+    if ! fresh "$logf" && kill -0 "$pid" 2>/dev/null; then
+      log "stall: $logf silent >${STALL_S}s, killing $pid"
+      kill "$pid" 2>/dev/null; sleep 5; kill -9 "$pid" 2>/dev/null
+      sleep "$RECOVER_S"
+      return 1
+    fi
+  done
+  return 0
+}
+
+run_job() {  # run_job <jobfile>
+  local jobf="$1" name; name=$(basename "$jobf" .job)
+  local RESULT="" logf="/tmp/q_${name}.log"
+  CMD() { log "job $name defined no CMD"; }
+  # shellcheck disable=SC1090
+  . "$jobf"
+  if [ -z "$RESULT" ]; then log "job $name has no RESULT; archiving"; mv "$jobf" "$Q/.done/"; return; fi
+  local tries=0
+  while [ ! -f "$RESULT" ] && [ "$tries" -lt 8 ]; do
+    tries=$((tries + 1))
+    log "launch $name (try $tries) -> $logf"
+    touch "$logf"
+    CMD >> "$logf" 2>&1 &
+    local pid=$!
+    echo "$pid" > /tmp/q_current.pid
+    babysit "$pid" "$logf" || continue
+    wait "$pid" 2>/dev/null
+  done
+  if [ -f "$RESULT" ]; then
+    log "done: $name ($RESULT)"; mv "$jobf" "$Q/.done/"
+  else
+    log "GAVE UP: $name"; mv "$jobf" "$Q/.done/${name}.failed"
+  fi
+}
+
+log "supervisor up (queue=$Q, stall=${STALL_S}s)"
+while true; do
+  next=$(ls "$Q"/*.job 2>/dev/null | sort | head -1 || true)
+  if [ -n "${next:-}" ]; then
+    run_job "$next"
+  elif [ -f "$Q/STOP" ]; then
+    log "STOP seen and queue empty; exiting"; break
+  else
+    sleep 60
+  fi
+done

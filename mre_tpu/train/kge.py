@@ -184,6 +184,18 @@ class KGETrainer:
             (params, opt_state), values = jax.lax.scan(one_step, (params, opt_state), subs)
             return params, opt_state, rng, jnp.sum(values)
 
+        # Lockstep/oracle hook: one optimizer step on a caller-provided batch
+        # (experiments/distmult_lockstep.py feeds byte-identical batches to
+        # this and to a torch re-enactment of the reference semantics).
+        @jax.jit
+        def step_with_batch(params, opt_state, batch):
+            value, grads = jax.value_and_grad(loss)(params, batch)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, value
+
+        self._loss_fn = jax.jit(loss)
+        self._step_with_batch = step_with_batch
         self._epoch_fn = train_epoch
         return train_step
 
