@@ -63,6 +63,11 @@ class KGEModel:
     # orientation so evaluators can consume them directly.
     score_all_tails: Callable | None = None
     score_all_heads: Callable | None = None
+    # Optional structured-batch training path ``(params, h, r, t, neg_h,
+    # neg_t, **kw) → (p [B], n [B, N])`` for models whose per-triple
+    # parameter gather is the step bottleneck (TransR: one [B, de, dr]
+    # relation-matrix gather shared across all of a positive's negatives).
+    score_pos_neg: Callable | None = None
 
 
 MODELS: dict[str, KGEModel] = {}
@@ -152,6 +157,53 @@ def _transr_score(params, h, r, t, p_norm=1, norm_flag=True):
     return _norm(he + re - te, p_norm)
 
 
+def _transr_score_pos_neg(params, h, r, t, neg_h, neg_t, p_norm=1, norm_flag=True):
+    """Structured TransR batch scorer: gathers M_r once per POSITIVE and
+    shares it across that positive's negatives as batched MXU einsums.
+
+    The generic path gathers ``mat[r]`` per scored triple — [B, N, de, dr]
+    ≈ 11 GB/step on FB15K237 (gather-bound, ~17.6 s/epoch measured round 2).
+    This form moves B rows instead (25× less) and turns the projections
+    into ``bnd,bdk->bnk`` contractions the MXU runs at peak.
+    """
+    m = params["mat"][r]                                    # [B, de, dr]
+    he, te, re = params["ent"][h], params["ent"][t], params["rel"][r]
+    hp = jnp.einsum("bd,bdk->bk", he, m)
+    tp = jnp.einsum("bd,bdk->bk", te, m)
+    nhp = jnp.einsum("bnd,bdk->bnk", params["ent"][neg_h], m)
+    ntp = jnp.einsum("bnd,bdk->bnk", params["ent"][neg_t], m)
+    if norm_flag:
+        hp, tp, re = _l2n(hp), _l2n(tp), _l2n(re)
+        nhp, ntp = _l2n(nhp), _l2n(ntp)
+    p = _norm(hp + re - tp, p_norm)
+    n = _norm(nhp + re[:, None, :] - ntp, p_norm)
+    return p, n
+
+
+def transr_all_tails(params, h, r, p_norm=1, norm_flag=True):
+    """Rank-all-tails for TransR: project the WHOLE entity table with each
+    query's M_r as one ``ed,bdk->bek`` contraction (no per-candidate
+    matrix gather). Returns distances (lower = better). Memory is
+    [B, E, dr] — bound it with the eval chunk size."""
+    m = params["mat"][r]                                    # [B, de, dr]
+    hp = jnp.einsum("bd,bdk->bk", params["ent"][h], m)
+    re = params["rel"][r]
+    ep = jnp.einsum("ed,bdk->bek", params["ent"], m)        # [B, E, dr]
+    if norm_flag:
+        hp, re, ep = _l2n(hp), _l2n(re), _l2n(ep)
+    return _norm((hp + re)[:, None, :] - ep, p_norm)
+
+
+def transr_all_heads(params, t, r, p_norm=1, norm_flag=True):
+    m = params["mat"][r]
+    tp = jnp.einsum("bd,bdk->bk", params["ent"][t], m)
+    re = params["rel"][r]
+    ep = jnp.einsum("ed,bdk->bek", params["ent"], m)
+    if norm_flag:
+        tp, re, ep = _l2n(tp), _l2n(re), _l2n(ep)
+    return _norm(ep + (re - tp)[:, None, :], p_norm)
+
+
 def _transr_reg(params, h, r, t):
     reg = _mean_sq(params["ent"][h], params["ent"][t], params["rel"][r], params["mat"][r])
     return reg * reg  # reference squares TransR's regularizer (TransR.py:102)
@@ -160,6 +212,7 @@ def _transr_reg(params, h, r, t):
 register(KGEModel(
     name="transr", init=_transr_init, score=_transr_score, predict=_transr_score,
     regularization=_transr_reg, higher_is_better=False,
+    score_pos_neg=_transr_score_pos_neg,
 ))
 
 

@@ -135,10 +135,17 @@ class KGETrainer:
             return model.score(params, h, r, t)
 
         def loss(params, batch: sampling.NegativeBatch):
-            p = score(params, batch.h, batch.r, batch.t)[:, None]
-            n = score(params,
-                      batch.neg_h, jnp.broadcast_to(batch.r[:, None], batch.neg_h.shape),
-                      batch.neg_t)
+            if model.score_pos_neg is not None:
+                kw = ({"p_norm": cfg.p_norm, "norm_flag": cfg.norm_flag}
+                      if cfg.model in ("transe", "transh", "transr", "transd") else {})
+                p, n = model.score_pos_neg(params, batch.h, batch.r, batch.t,
+                                           batch.neg_h, batch.neg_t, **kw)
+                p = p[:, None]
+            else:
+                p = score(params, batch.h, batch.r, batch.t)[:, None]
+                n = score(params,
+                          batch.neg_h, jnp.broadcast_to(batch.r[:, None], batch.neg_h.shape),
+                          batch.neg_t)
             # distance models: loss wants (p_small, n_big); similarity models
             # feed (p, n) to sigmoid/softplus directly. MarginLoss in the
             # reference always receives (p, n) in forward orientation.
@@ -233,6 +240,17 @@ class KGETrainer:
                 return base_predict(p, h, r, t, p_norm=cfg.p_norm, norm_flag=cfg.norm_flag)
 
             model = dataclasses.replace(model, predict=predict)
+            if cfg.model == "transr":
+                # Generic broadcast fallback would gather [B, chunk, de, dr]
+                # relation matrices per entity chunk; use the whole-table
+                # projection fast path instead (models/kge.py).
+                model = dataclasses.replace(
+                    model,
+                    score_all_tails=functools.partial(
+                        kge_models.transr_all_tails, p_norm=cfg.p_norm, norm_flag=cfg.norm_flag),
+                    score_all_heads=functools.partial(
+                        kge_models.transr_all_heads, p_norm=cfg.p_norm, norm_flag=cfg.norm_flag),
+                )
 
         all_tails, all_heads = ranking.make_predict_all(model, filt)
         filter_pad = int(max(

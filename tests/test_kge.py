@@ -102,3 +102,37 @@ def test_gradients_flow(model_and_params):
     flat, _ = jax.tree_util.tree_flatten(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in flat)
     assert any(float(jnp.abs(g).sum()) > 0 for g in flat)
+
+
+@pytest.mark.parametrize("norm_flag", [True, False])
+def test_transr_structured_paths_match_generic(norm_flag):
+    """The one-gather-per-positive TransR training path and the whole-table
+    projection eval paths must equal the generic per-triple scorer."""
+    model = kge.get("transr")
+    params = model.init(jax.random.key(3), N_ENT, N_REL, dim_e=DIM, dim_r=12,
+                        rand_init=True)
+    B, N = 7, 5
+    key = jax.random.key(9)
+    ks = jax.random.split(key, 5)
+    h = jax.random.randint(ks[0], (B,), 0, N_ENT)
+    r = jax.random.randint(ks[1], (B,), 0, N_REL)
+    t = jax.random.randint(ks[2], (B,), 0, N_ENT)
+    neg_h = jax.random.randint(ks[3], (B, N), 0, N_ENT)
+    neg_t = jax.random.randint(ks[4], (B, N), 0, N_ENT)
+
+    p, n = model.score_pos_neg(params, h, r, t, neg_h, neg_t, norm_flag=norm_flag)
+    p_ref = model.score(params, h, r, t, norm_flag=norm_flag)
+    n_ref = model.score(params, neg_h, jnp.broadcast_to(r[:, None], neg_h.shape),
+                        neg_t, norm_flag=norm_flag)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(n), np.asarray(n_ref), rtol=1e-5, atol=1e-5)
+
+    all_ents = jnp.arange(N_ENT)
+    fast_t = kge.transr_all_tails(params, h, r, norm_flag=norm_flag)
+    slow_t = model.predict(params, h[:, None], r[:, None], all_ents[None, :],
+                           norm_flag=norm_flag)
+    np.testing.assert_allclose(np.asarray(fast_t), np.asarray(slow_t), rtol=1e-4, atol=1e-4)
+    fast_h = kge.transr_all_heads(params, t, r, norm_flag=norm_flag)
+    slow_h = model.predict(params, all_ents[None, :], r[:, None], t[:, None],
+                           norm_flag=norm_flag)
+    np.testing.assert_allclose(np.asarray(fast_h), np.asarray(slow_h), rtol=1e-4, atol=1e-4)
