@@ -524,9 +524,38 @@ def _rotate_reg(params, h, r, t):
     return _mean_sq(params["ent"][h], params["ent"][t], params["rel"][r])
 
 
+def _rotate_score_pos_neg(params, h, r, t, neg_h, neg_t):
+    """Structured RotatE batch scorer: the rotation (phase → cos/sin) is a
+    function of the POSITIVE's relation only, so compute it once per
+    positive ([B, dim]) instead of per negative ([B, N, dim]).
+
+    The generic path gathers rel[r] per negative and runs the
+    transcendentals over [B, N, dim] — at the adv recipe's 2000×64×1024
+    that is ~0.5 GB of phase gathers plus 65× redundant cos/sin, the bulk
+    of the measured 79 ms/step (8× roofline, round-2 notes).
+    """
+    dim = params["rel"].shape[-1]
+    phase = params["rel"][r] / (jax.lax.stop_gradient(params["rel_range"]) / jnp.pi)
+    r_re, r_im = jnp.cos(phase), jnp.sin(phase)             # [B, dim]
+
+    def dist(he, te, rr, ri):
+        h_re, h_im = he[..., :dim], he[..., dim:]
+        t_re, t_im = te[..., :dim], te[..., dim:]
+        s_re = h_re * rr - h_im * ri - t_re
+        s_im = h_re * ri + h_im * rr - t_im
+        return jnp.sum(jnp.sqrt(jnp.maximum(s_re * s_re + s_im * s_im, 1e-30)), -1)
+
+    margin = jax.lax.stop_gradient(params["margin"])
+    p = margin - dist(params["ent"][h], params["ent"][t], r_re, r_im)
+    n = margin - dist(params["ent"][neg_h], params["ent"][neg_t],
+                      r_re[:, None, :], r_im[:, None, :])
+    return p, n
+
+
 register(KGEModel(
     name="rotate", init=_rotate_init, score=_rotate_score, predict=_rotate_predict,
     regularization=_rotate_reg, higher_is_better=True,
+    score_pos_neg=_rotate_score_pos_neg,
 ))
 
 

@@ -136,3 +136,37 @@ def test_transr_structured_paths_match_generic(norm_flag):
     slow_h = model.predict(params, all_ents[None, :], r[:, None], t[:, None],
                            norm_flag=norm_flag)
     np.testing.assert_allclose(np.asarray(fast_h), np.asarray(slow_h), rtol=1e-4, atol=1e-4)
+
+
+def test_rotate_structured_path_matches_generic():
+    model = kge.get("rotate")
+    params = model.init(jax.random.key(5), N_ENT, N_REL, dim=DIM)
+    B, N = 6, 4
+    ks = jax.random.split(jax.random.key(11), 5)
+    h = jax.random.randint(ks[0], (B,), 0, N_ENT)
+    r = jax.random.randint(ks[1], (B,), 0, N_REL)
+    t = jax.random.randint(ks[2], (B,), 0, N_ENT)
+    neg_h = jax.random.randint(ks[3], (B, N), 0, N_ENT)
+    neg_t = jax.random.randint(ks[4], (B, N), 0, N_ENT)
+    p, n = model.score_pos_neg(params, h, r, t, neg_h, neg_t)
+    p_ref = model.score(params, h, r, t)
+    n_ref = model.score(params, neg_h, jnp.broadcast_to(r[:, None], neg_h.shape), neg_t)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(n), np.asarray(n_ref), rtol=1e-5, atol=1e-5)
+
+    # gradient parity (the structured path reaches params through different
+    # contractions — the pullback must agree)
+    def loss_struct(ps):
+        pp, nn = model.score_pos_neg(ps, h, r, t, neg_h, neg_t)
+        return jnp.sum(pp) - jnp.sum(nn)
+
+    def loss_gen(ps):
+        pp = model.score(ps, h, r, t)
+        nn = model.score(ps, neg_h, jnp.broadcast_to(r[:, None], neg_h.shape), neg_t)
+        return jnp.sum(pp) - jnp.sum(nn)
+
+    g1 = jax.grad(loss_struct)(params)
+    g2 = jax.grad(loss_gen)(params)
+    for k in ("ent", "rel"):
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]),
+                                   rtol=1e-4, atol=1e-5)
