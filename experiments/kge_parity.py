@@ -146,6 +146,10 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--tag", default="",
                         help="suffix for result/ckpt filenames (seed/budget variants)")
+    parser.add_argument("--override", default="",
+                        help="comma-separated config overrides, e.g. 'margin=6.0,alpha=0.5' "
+                             "(for table cells whose example script the reference "
+                             "does not vendor; recorded in the result row)")
     parser.add_argument("--out_dir", default=os.path.join(os.path.dirname(os.path.abspath(__file__)), "results"))
     args = parser.parse_args(argv)
 
@@ -163,6 +167,12 @@ def main(argv=None):
     bench = read_benchmark(args.in_path)
     train_table = TripleTable.build(bench["train"], bench["n_entities"], bench["n_relations"])
     cfg = build_config(args.recipe, train_table.n_triples, args.train_times, args.seed)
+    overrides = {}
+    if args.override:
+        for kv in args.override.split(","):
+            k, v = kv.split("=")
+            overrides[k] = type(getattr(cfg, k))(v)
+        cfg = dataclasses.replace(cfg, **overrides)
     print(f"[parity] {args.recipe}: {cfg}", flush=True)
     trainer = KGETrainer(train_table, cfg)
 
@@ -217,6 +227,8 @@ def main(argv=None):
     }
     if args.tag:
         row["tag"] = args.tag
+    if overrides:
+        row["overrides"] = overrides
     for split in ("raw", "filter"):
         m = res[split]
         row[split] = {"mrr": round(float(m.mrr), 4), "mr": round(float(m.mr), 1),

@@ -27,6 +27,35 @@ SHAPES = [
 ]
 
 
+REPS = 32  # in-program repetitions per dispatch
+
+
+def _scanned(fn, reps=REPS):
+    """One jitted program running ``fn`` ``reps`` times via lax.scan.
+
+    Per-call dispatch through the axon relay tunnel costs O(100 µs)+jitter
+    and polluted the round-2 numbers for these sub-ms kernels (the gate
+    contradiction flagged in VERDICT r2). Scaling q by a per-iteration
+    constant keeps a data dependency so XLA cannot hoist the body out of
+    the loop; the extra elementwise multiply is noise vs the attention.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(q, k, v):
+        alphas = 1.0 + jnp.arange(reps, dtype=q.dtype) * 1e-6
+
+        def body(acc, a):
+            o = fn(q * a, k, v)
+            return acc + o[0, 0, 0, 0], None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((), q.dtype), alphas)
+        return acc
+
+    return run
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -47,6 +76,7 @@ def main():
 
         row = {}
         for name, fn in (("xla", xla), ("pallas", pls)):
+            # per-dispatch timing (kept for comparison with round-2 data)
             r = jax.block_until_ready(fn(q, k, v))      # compile
             best = float("inf")
             for _ in range(3):
@@ -55,14 +85,26 @@ def main():
                     r = fn(q, k, v)
                 jax.block_until_ready(r)
                 best = min(best, (time.perf_counter() - t0) / 10)
+            row[name + "_dispatch"] = round(best * 1e6, 1)
+
+            # scanned timing: one dispatch, REPS in-program iterations
+            sfn = _scanned(fn)
+            jax.block_until_ready(sfn(q, k, v))         # compile
+            best = float("inf")
+            for _ in range(5):
+                t0 = time.perf_counter()
+                jax.block_until_ready(sfn(q, k, v))
+                best = min(best, (time.perf_counter() - t0) / REPS)
             row[name] = round(best * 1e6, 1)
         row["pallas_vs_xla"] = round(row["xla"] / row["pallas"], 3)
         err = float(jnp.max(jnp.abs(xla(q, k, v) - pls(q, k, v))))
         row["max_abs_diff"] = err
         out[label] = row
         print(f"[attn_bench] {label} B{B} H{H} N{N} hd{hd}: "
-              f"xla {row['xla']}us pallas {row['pallas']}us "
-              f"({row['pallas_vs_xla']}x, maxdiff {err:.2e})", flush=True)
+              f"xla {row['xla']}us pallas {row['pallas']}us scanned "
+              f"({row['pallas_vs_xla']}x; dispatch-timed "
+              f"{row['xla_dispatch']}/{row['pallas_dispatch']}us, "
+              f"maxdiff {err:.2e})", flush=True)
     print(json.dumps(out))
     return out
 
