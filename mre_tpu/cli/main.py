@@ -119,7 +119,8 @@ def run_zsl_round(args, fusion, zsl, logger, dump_embeddings: bool = False):
         # predictor (DistillModel.py; utils.py generate_rel_embed 'unseen')
         predict_unseen, _ = fusion.train_distill(
             rel_embs, steps=getattr(args, "distill_steps", 2000))
-    result = zsl.evaluate(fusion, mode="test", predict_unseen=predict_unseen)
+    result = zsl.evaluate(fusion, mode="test", predict_unseen=predict_unseen,
+                          compute_dtype=getattr(args, "compute_dtype", "float32"))
     logger.log({f"zsl_{k}": v for k, v in result.items() if isinstance(v, (int, float))})
     return result
 

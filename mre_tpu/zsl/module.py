@@ -522,11 +522,17 @@ class ZSLModule:
     # -- evaluation (zsl_module.py:635-745) ----------------------------------
 
     def evaluate(self, fusion_trainer, mode: str = "test", verbose: bool = True,
-                 query_chunk: int = 64, predict_unseen=None):
+                 query_chunk: int = 64, predict_unseen=None,
+                 compute_dtype: str = "float32"):
         """Zero-shot ranking. ``predict_unseen`` (optional) routes unseen
         relation vectors through the DistillModel predictor
         (generate_rel_embed(..., rel_type='unseen'), module/utils.py:529-546
-        + DistillModel.py) instead of the WGAN generator head."""
+        + DistillModel.py) instead of the WGAN generator head.
+
+        ``compute_dtype='bfloat16'`` runs the ranking hot path (factored
+        L/R tables + SupportEncoder) in bf16 — the MXU's native dtype,
+        halving the gather bytes; pair embeddings are cast back to f32
+        before cosine normalization and ranking."""
         test_candidates = loaders.load_candidates(self.data_path, mode)
 
         # precompute per-entity neighbor encodings and the factored pair
@@ -545,12 +551,20 @@ class ZSLModule:
                 jnp.asarray(ent_sym), method=self.extractor.precompute_pair_tables)
 
         L, R = jax.jit(_tables)()
+        cdt = jnp.dtype(compute_dtype)
+        if cdt != jnp.float32:
+            L, R = L.astype(cdt), R.astype(cdt)
+            ex_params_eval = jax.tree_util.tree_map(lambda x: x.astype(cdt),
+                                                    self.ex_params)
+        else:
+            ex_params_eval = self.ex_params
 
         @jax.jit
         def embed(pairs, left, right):
-            return self.extractor.apply(
-                {"params": self.ex_params}, L, R, left, right,
+            emb = self.extractor.apply(
+                {"params": ex_params_eval}, L, R, left, right,
                 method=self.extractor.embed_pairs_factored)
+            return emb.astype(jnp.float32)
 
         if predict_unseen is not None:
             def gen_rel_vecs(rel_name):
