@@ -28,11 +28,12 @@ import numpy as np
 def _score_and_rank(cand_emb, rel_vecs, cand_mask):
     """cand_emb [Q, C, D]; rel_vecs [S, D]; cand_mask [Q, C] (col 0 = true).
 
-    Returns ranks [Q]. Tie semantics match the reference
-    (zsl_module.py:705-706): ``argsort(scores)[::-1]`` with a stable
-    ascending sort places the true candidate (index 0) *last* among equal
-    scores, so rank = 1 + #greater + #tied — the pessimistic tie rank, never
-    inflating Hits@k for quantized cosine scores."""
+    Returns ranks [Q]. Tie semantics: the reference ranks via
+    ``np.argsort(scores)[::-1]`` (zsl_module.py:705-706), whose order among
+    equal scores is unspecified (NumPy's default argsort is introsort, not
+    stable). We deliberately take the pessimistic rank —
+    1 + #greater + #tied — a conservative deviation that never inflates
+    Hits@k for quantized cosine scores."""
     emb = cand_emb / jnp.maximum(jnp.linalg.norm(cand_emb, axis=-1, keepdims=True), 1e-12)
     rv = rel_vecs / jnp.maximum(jnp.linalg.norm(rel_vecs, axis=-1, keepdims=True), 1e-12)
     # mean-of-cosines is linear in the relation samples: fold the S vectors
@@ -137,7 +138,10 @@ def evaluate_zero_shot(test_candidates: dict, symbol2id: dict, e2id: dict,
 
     n_q = len(pairs_l)
     if n_q == 0:
-        overall = metrics_from_ranks(np.asarray([1.0]))
+        # Zero evaluable queries (empty/mis-pathed candidates file): report
+        # zeros with n=0 so a misloaded dataset can never masquerade as a
+        # perfect score.
+        overall = dict(hits10=0.0, hits5=0.0, hits1=0.0, mrr=0.0, n=0)
         overall["per_relation"] = {}
         return overall
     pad_q = ((n_q + query_chunk - 1) // query_chunk) * query_chunk

@@ -62,6 +62,7 @@ struct State {
     bool has_types = false;
 
     std::vector<std::mt19937_64> rngs;
+    INT last_seed = 0;   // seed base for rng top-up in sampling()
 };
 
 State S;
@@ -262,11 +263,14 @@ INT getTripleTotal() { return S.triple_total; }
 void randReset() {
     S.rngs.clear();
     std::random_device rd;
-    for (INT i = 0; i < S.work_threads; i++) S.rngs.emplace_back(rd() + i * 7919);
+    S.last_seed = (INT)rd();
+    for (INT i = 0; i < S.work_threads; i++)
+        S.rngs.emplace_back((unsigned long long)S.last_seed + i * 7919);
 }
 
 void setSeed(INT seed) {
     S.rngs.clear();
+    S.last_seed = seed;
     for (INT i = 0; i < S.work_threads; i++) S.rngs.emplace_back(seed + i * 7919);
 }
 
@@ -377,9 +381,13 @@ void sampling(INT* batch_h, INT* batch_t, INT* batch_r, REAL* batch_y,
               bool filter_flag, bool p, bool val_loss) {
     INT n_threads = std::max<INT>(S.work_threads, 1);
     // setWorkThreads may legally be called after randReset/setSeed (the ABI
-    // allows any order) — make sure every thread has an rng.
+    // allows any order) — make sure every thread has an rng. Top-up streams
+    // derive from the last seed so runs with different setSeed values never
+    // share corruption streams on late-added threads.
     while ((INT)S.rngs.size() < n_threads)
-        S.rngs.emplace_back(0x9e3779b97f4a7c15ull + S.rngs.size() * 7919);
+        S.rngs.emplace_back((unsigned long long)S.last_seed
+                            + 0x9e3779b97f4a7c15ull
+                            + S.rngs.size() * 7919);
     if (val_loss) {
         // validation-loss batches (Base.cpp:149-160): positives straight
         // from the valid list, no corruption.

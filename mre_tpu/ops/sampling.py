@@ -25,6 +25,7 @@ batched, and host-loop-free:
 from __future__ import annotations
 
 import functools
+import warnings
 from typing import NamedTuple
 
 import jax
@@ -278,6 +279,14 @@ def corrupt_relations(key: jax.Array, kg: DeviceKG, r: jnp.ndarray,
     it needs a host-side prob table.)"""
     B = r.shape[0]
     if h is None or t is None or not filter_flag or kg.pair_keys is None:
+        if filter_flag and h is not None and t is not None and kg.pair_keys is None:
+            # E² ≥ 2³¹ disables the by-(h, t) key index — the semantic
+            # downgrade (negatives may include true triples) must be
+            # visible, not silent.
+            warnings.warn(
+                "corrupt_relations: filter_flag requested but the KG is too "
+                "large for the (h, t) pair index (E^2 >= 2^31); falling back "
+                "to UNFILTERED relation negatives.", stacklevel=2)
         v = jax.random.randint(key, (B, n_neg), 0, kg.n_relations - 1, dtype=jnp.int32)
         return jnp.where(v < r[:, None], v, v + 1)
 

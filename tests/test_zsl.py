@@ -182,3 +182,13 @@ def test_factored_pair_embedding_matches_precomputed():
                    method=ex.embed_pairs_factored)
     np.testing.assert_allclose(np.asarray(new), np.asarray(old),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_evaluate_zero_shot_empty_candidates_reports_zero():
+    """Empty/mis-pathed candidates must yield n=0 + zero metrics, never a
+    perfect score (ADVICE r2)."""
+    from mre_tpu.eval.zero_shot import evaluate_zero_shot
+
+    out = evaluate_zero_shot({}, {}, {}, {}, None, None, verbose=False)
+    assert out["n"] == 0
+    assert out["hits10"] == 0.0 and out["mrr"] == 0.0
