@@ -133,3 +133,60 @@ def test_m3ae_pretrain_loss(m3ae):
     assert np.isfinite(float(loss))
     for k in ("image_loss", "text_loss", "unpaired_text_loss", "text_accuracy"):
         assert np.isfinite(float(info[k])), k
+
+
+def test_load_cc12m_checkpoint_roundtrip(m3ae, tmp_path):
+    """Synthetic upstream-format pickle roundtrip (VERDICT r2 #8).
+
+    Upstream ``m3ae_small.pkl`` holds {'state': <train state>, 'variant': ...}
+    with state.params['params'] a flax tree in this module's naming
+    (reference flax→torch mapping: module/utils.py:271-346). Build one from
+    a differently-seeded init, load it, and assert the encoder-side subtrees
+    were replaced while decoder-side init is kept, and the forward pass
+    changes accordingly.
+    """
+    import pickle
+    from types import SimpleNamespace
+
+    from mre_tpu.models.m3ae import load_cc12m_checkpoint
+
+    model, variables, patches, text, pad = m3ae
+    params = variables["params"]
+
+    # "upstream" tree: same structure, different values
+    other = model.init(
+        {"params": jax.random.key(42), "masking": jax.random.key(43)},
+        patches, text, pad)["params"]
+    other = jax.tree_util.tree_map(lambda x: np.asarray(x), other)
+
+    path = tmp_path / "m3ae_small.pkl"
+    with open(path, "wb") as f:
+        pickle.dump({"state": SimpleNamespace(params={"params": other}),
+                     "variant": {"model_type": "tiny"}}, f)
+
+    loaded = load_cc12m_checkpoint(str(path), params)
+
+    # encoder-side entries replaced by the checkpoint...
+    for name in ("cls_token", "encoder_image_type_embedding",
+                 "encoder_text_type_embedding"):
+        np.testing.assert_array_equal(np.asarray(loaded[name]), other[name])
+    for leaf_a, leaf_b in zip(
+            jax.tree_util.tree_leaves(loaded["encoder"]),
+            jax.tree_util.tree_leaves(other["encoder"])):
+        np.testing.assert_array_equal(np.asarray(leaf_a), np.asarray(leaf_b))
+    np.testing.assert_array_equal(
+        np.asarray(loaded["text_embedding"]["embedding"]),
+        other["text_embedding"]["embedding"])
+
+    # ...while decoder-side entries keep this init
+    for leaf_a, leaf_b in zip(
+            jax.tree_util.tree_leaves(loaded["decoder"]),
+            jax.tree_util.tree_leaves(params["decoder"])):
+        np.testing.assert_array_equal(np.asarray(leaf_a), np.asarray(leaf_b))
+
+    # and the encoder forward pass actually changes
+    before = model.apply({"params": params}, patches, text, pad,
+                         method=model.forward_representation)[0]
+    after = model.apply({"params": loaded}, patches, text, pad,
+                        method=model.forward_representation)[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
