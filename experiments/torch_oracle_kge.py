@@ -41,6 +41,7 @@ def main(argv=None):
     ap.add_argument("--neg_ent", type=int, default=25)
     ap.add_argument("--dim", type=int, default=200)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--eval_every", type=int, default=200)
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
@@ -89,6 +90,39 @@ def main(argv=None):
                      params["rel_re"][r], params["rel_im"][r]]
         return sum(p.pow(2).mean() for p in parts) / len(parts)
 
+    # evaluation harness (repo's validated evaluator), reused per checkpoint
+    from mre_tpu.data.kg import TripleTable
+    from mre_tpu.openke.data import read_benchmark
+    from mre_tpu.train.kge import KGETrainer, KGETrainerConfig
+
+    bench = read_benchmark(args.in_path)
+    table = TripleTable.build(bench["train"], bench["n_entities"], bench["n_relations"])
+    cfg = KGETrainerConfig(model=args.model, dim=d, loss="softplus",
+                           neg_ent=args.neg_ent, batch_size=B, bern=True,
+                           opt_method="adagrad", alpha=args.alpha,
+                           regul_rate=args.regul_rate, nbatches=100, seed=args.seed)
+    trainer = KGETrainer(table, cfg)
+    full = np.concatenate([bench["train"], bench["valid"], bench["test"]])
+    full_table = TripleTable.build(full, bench["n_entities"], bench["n_relations"])
+    out = args.out or os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "results", f"torch_oracle_{args.model}_WN18RR.json")
+
+    def evaluate(epochs_done):
+        import jax.numpy as jnp
+        trainer.params = {k: jnp.asarray(v.detach().numpy())
+                          for k, v in params.items()}
+        res = trainer.link_prediction(bench["test"], filter_table=full_table,
+                                      chunk=16)
+        row = {"oracle": "torch", "model": args.model,
+               "train_times": args.train_times, "epochs_done": epochs_done,
+               "seed": args.seed,
+               "filter_hits10": round(float(res["filter"].hits10), 4),
+               "filter_mrr": round(float(res["filter"].mrr), 4),
+               "raw_hits10": round(float(res["raw"].hits10), 4)}
+        with open(out, "w") as f:
+            json.dump(row, f, indent=1)
+        print("[oracle] RESULT " + json.dumps(row), flush=True)
+
     t0 = time.time()
     for epoch in range(args.train_times):
         total = 0.0
@@ -110,34 +144,8 @@ def main(argv=None):
             eta = dt / (epoch + 1) * (args.train_times - epoch - 1)
             print(f"[oracle] epoch {epoch} loss {total:.4f} "
                   f"({dt/(epoch+1):.2f}s/epoch, eta {eta/60:.0f}m)", flush=True)
-
-    # Evaluate with the repo's validated evaluator on the final embeddings.
-    from mre_tpu.data.kg import TripleTable
-    from mre_tpu.openke.data import read_benchmark
-    from mre_tpu.train.kge import KGETrainer, KGETrainerConfig
-
-    bench = read_benchmark(args.in_path)
-    table = TripleTable.build(bench["train"], bench["n_entities"], bench["n_relations"])
-    cfg = KGETrainerConfig(model=args.model, dim=d, loss="softplus",
-                           neg_ent=args.neg_ent, batch_size=B, bern=True,
-                           opt_method="adagrad", alpha=args.alpha,
-                           regul_rate=args.regul_rate, nbatches=100, seed=args.seed)
-    trainer = KGETrainer(table, cfg)
-    import jax.numpy as jnp
-    trainer.params = {k: jnp.asarray(v.detach().numpy()) for k, v in params.items()}
-    full = np.concatenate([bench["train"], bench["valid"], bench["test"]])
-    full_table = TripleTable.build(full, bench["n_entities"], bench["n_relations"])
-    res = trainer.link_prediction(bench["test"], filter_table=full_table, chunk=16)
-    row = {"oracle": "torch", "model": args.model, "train_times": args.train_times,
-           "seed": args.seed,
-           "filter_hits10": round(float(res["filter"].hits10), 4),
-           "filter_mrr": round(float(res["filter"].mrr), 4),
-           "raw_hits10": round(float(res["raw"].hits10), 4)}
-    out = args.out or os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   "results", f"torch_oracle_{args.model}_WN18RR.json")
-    with open(out, "w") as f:
-        json.dump(row, f, indent=1)
-    print("[oracle] RESULT " + json.dumps(row), flush=True)
+        if (epoch + 1) % args.eval_every == 0 or epoch == args.train_times - 1:
+            evaluate(epoch + 1)
 
 
 if __name__ == "__main__":
