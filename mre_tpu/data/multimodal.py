@@ -174,6 +174,35 @@ class MultimodalStore:
         self.num_nodes = n
         self.num_relations = R
 
+    def precompute_image_cache(self, margin: float = 1.15) -> float:
+        """Decode every entity image ONCE into a uint8 cache sized
+        ``image_size·margin``; the per-step hot path then reduces to a
+        random crop + flip + normalize — no JPEG decode.
+
+        Rationale: the reference re-decodes and RandomResizedCrops every
+        image on every step through dataloader worker processes
+        (module/data.py:224-250, main.py:93-99); on a single-core host that
+        leaves the chip idle at m3ae-small image sizes. The cache trades the
+        reference's full crop-scale jitter for a fixed-scale random-window
+        crop (flip + normalization unchanged) — an input-pipeline
+        divergence, opt-in via FusionConfig.image_cache. Returns the decode
+        wall time (seconds)."""
+        import time as _time
+
+        from PIL import Image
+
+        s_out = int(round(self.config.image_size * margin))
+        t0 = _time.time()
+        cache = np.zeros((self.num_nodes, s_out, s_out, 3), np.uint8)
+        for i in range(self.num_nodes):
+            if self.has_image[i]:
+                img = _decode_image(self.images[i])
+                pil = Image.fromarray(img).resize((s_out, s_out), Image.BICUBIC)
+                cache[i] = np.asarray(pil, np.uint8)
+        self._img_cache = cache
+        self._cache_size = s_out
+        return _time.time() - t0
+
     def _placeholder_image(self) -> np.ndarray:
         """Scaled-Xavier noise image for text-only entities
         (module/data.py:286-290: xavier_uniform(256,256,3) × 10)."""
@@ -201,6 +230,32 @@ class MultimodalStore:
             seeds = self._rng.integers(0, 2**63, size=len(node_ids))
         else:
             seeds = node_ids.astype(np.int64) * 2654435761 + self.config.seed
+
+        if getattr(self, "_img_cache", None) is not None:
+            # cached fast path: fixed-scale random-window crop from the
+            # pre-decoded uint8 cache (see precompute_image_cache)
+            cs, osz = self._cache_size, cfg.image_size
+            span = cs - osz
+            crops = np.empty((len(node_ids), osz, osz, 3), np.uint8)
+            holder = []
+            for k in range(len(node_ids)):
+                i = node_ids[k]
+                rng = np.random.default_rng(seeds[k])
+                if self.has_image[i]:
+                    top = int(rng.integers(0, span + 1)) if span > 0 else 0
+                    left = int(rng.integers(0, span + 1)) if span > 0 else 0
+                    c = self._img_cache[i, top:top + osz, left:left + osz]
+                    if train and rng.random() < 0.5:
+                        c = c[:, ::-1]
+                    crops[k] = c
+                else:
+                    limit = np.sqrt(6.0 / (osz + 3))
+                    holder.append((k, (rng.uniform(-limit, limit,
+                                                   (osz, osz, 3)) * 10.0)))
+            out = (crops.astype(np.float32) / 255.0 - mean) / std
+            for k, ph in holder:
+                out[k] = ph
+            return out
 
         def work(k):
             i = node_ids[k]

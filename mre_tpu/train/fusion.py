@@ -83,6 +83,7 @@ class FusionConfig:
     seed: int = 192
     text_only: bool = False
     compute_dtype: str = "float32"   # M3AE matmul dtype ("bfloat16" → MXU)
+    image_cache: bool = False        # pre-decode images once (single-core hosts)
 
 
 class FusionTrainer:
@@ -93,6 +94,10 @@ class FusionTrainer:
         self.cfg = cfg
         self.mesh = mesh
         self.kg = DeviceKG.from_table(table)
+        if cfg.image_cache and not cfg.text_only:
+            secs = store.precompute_image_cache()
+            print(f"[fusion] image cache: {store.num_nodes} entities "
+                  f"pre-decoded in {secs:.1f}s", flush=True)
 
         self.model = UnifiedModel(
             text_vocab_size=store.vocab_size,

@@ -108,3 +108,43 @@ def test_triple_batch(tmp_path):
     assert batch["image_head"].shape == (5, 16, 16, 3)
     assert batch["text_tail"].shape == (5, 6)
     assert batch["rel_des"].shape == (5, 8)
+
+
+def test_image_cache_fast_path(tmp_path):
+    """precompute_image_cache: cached batches keep shape/normalization and
+    eval batches stay deterministic; text-only entities still get the
+    Xavier-noise placeholder."""
+    from mre_tpu.data.fixtures import write_zsl_dataset
+    from mre_tpu.data.loaders import load_zsl_dataset
+    from mre_tpu.data.multimodal import MultimodalPipelineConfig, MultimodalStore
+
+    path = str(tmp_path / "zs")
+    write_zsl_dataset(path, n_ent=20, n_rel=4, n_unseen=1, triples_per_rel=8,
+                      image_size=8, seed=2)
+    data = load_zsl_dataset(path)
+
+    def build():
+        return MultimodalStore(
+            data["mm_info"], data["rel_des"],
+            MultimodalPipelineConfig(image_size=16, vocab_size=64,
+                                     tokenizer_max_length=6,
+                                     unpaired_tokenizer_max_length=8))
+
+    store = build()
+    ids = np.arange(8)
+    secs = store.precompute_image_cache()
+    assert secs >= 0.0 and store._img_cache.shape[0] == store.num_nodes
+    imgs = store.entity_images(ids, train=True)
+    assert imgs.shape == (8, 16, 16, 3) and np.isfinite(imgs).all()
+    # eval batches are seed-deterministic on the cached path too
+    a = store.entity_images(ids, train=False)
+    b = store.entity_images(ids, train=False)
+    np.testing.assert_array_equal(a, b)
+    # placeholder stats: text-only entities get the same noise as uncached
+    fresh = build()
+    text_only = np.asarray([i for i in range(store.num_nodes)
+                            if not store.has_image[i]][:2])
+    if len(text_only):
+        np.testing.assert_allclose(
+            store.entity_images(text_only, train=False),
+            fresh.entity_images(text_only, train=False), rtol=1e-6)
