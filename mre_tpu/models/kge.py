@@ -63,10 +63,12 @@ class KGEModel:
     # orientation so evaluators can consume them directly.
     score_all_tails: Callable | None = None
     score_all_heads: Callable | None = None
-    # Optional structured-batch training path ``(params, h, r, t, neg_h,
-    # neg_t, **kw) → (p [B], n [B, N])`` for models whose per-triple
-    # parameter gather is the step bottleneck (TransR: one [B, de, dr]
-    # relation-matrix gather shared across all of a positive's negatives).
+    # Optional structured-batch training path ``(params, batch, **kw) →
+    # (p [B], n [B, N])`` consuming a sampling.NegativeBatch, for models
+    # whose per-triple parameter gathers are the step bottleneck (TransR:
+    # one [B, de, dr] relation-matrix gather shared across a positive's
+    # negatives; RotatE: rotation computed once per positive + sided
+    # negatives so uncorrupted-side gradients avoid colliding scatters).
     score_pos_neg: Callable | None = None
 
 
@@ -157,7 +159,7 @@ def _transr_score(params, h, r, t, p_norm=1, norm_flag=True):
     return _norm(he + re - te, p_norm)
 
 
-def _transr_score_pos_neg(params, h, r, t, neg_h, neg_t, p_norm=1, norm_flag=True):
+def _transr_score_pos_neg(params, batch, p_norm=1, norm_flag=True):
     """Structured TransR batch scorer: gathers M_r once per POSITIVE and
     shares it across that positive's negatives as batched MXU einsums.
 
@@ -166,6 +168,8 @@ def _transr_score_pos_neg(params, h, r, t, neg_h, neg_t, p_norm=1, norm_flag=Tru
     This form moves B rows instead (25× less) and turns the projections
     into ``bnd,bdk->bnk`` contractions the MXU runs at peak.
     """
+    h, r, t = batch.h, batch.r, batch.t
+    neg_h, neg_t = batch.neg_h, batch.neg_t
     m = params["mat"][r]                                    # [B, de, dr]
     he, te, re = params["ent"][h], params["ent"][t], params["rel"][r]
     hp = jnp.einsum("bd,bdk->bk", he, m)
@@ -524,31 +528,54 @@ def _rotate_reg(params, h, r, t):
     return _mean_sq(params["ent"][h], params["ent"][t], params["rel"][r])
 
 
-def _rotate_score_pos_neg(params, h, r, t, neg_h, neg_t):
-    """Structured RotatE batch scorer: the rotation (phase → cos/sin) is a
-    function of the POSITIVE's relation only, so compute it once per
-    positive ([B, dim]) instead of per negative ([B, N, dim]).
+def _rotate_score_pos_neg(params, batch):
+    """Structured RotatE batch scorer.
 
-    The generic path gathers rel[r] per negative and runs the
-    transcendentals over [B, N, dim] — at the adv recipe's 2000×64×1024
-    that is ~0.5 GB of phase gathers plus 65× redundant cos/sin, the bulk
-    of the measured 79 ms/step (8× roofline, round-2 notes).
+    Two restructurings over the generic per-triple path (together they
+    attack the measured 79 ms/step at the adv recipe's 2000×64×1024 —
+    ~8× roofline, round-2 notes):
+
+    * the rotation (phase → cos/sin) depends on the POSITIVE's relation
+      only — computed once per positive ([B, dim]), not per negative
+      ([B, N, dim] gathers + 65× redundant transcendentals);
+    * with the batch's sided view (``neg_ent``/``neg_side``), only the
+      CORRUPTED entity is gathered per negative. The uncorrupted side
+      reuses the positive's embedding via broadcast, so its gradient
+      reaches the table through a reduction over N instead of an N-way
+      colliding scatter-add per positive row.
     """
+    h, r, t = batch.h, batch.r, batch.t
     dim = params["rel"].shape[-1]
     phase = params["rel"][r] / (jax.lax.stop_gradient(params["rel_range"]) / jnp.pi)
     r_re, r_im = jnp.cos(phase), jnp.sin(phase)             # [B, dim]
 
-    def dist(he, te, rr, ri):
-        h_re, h_im = he[..., :dim], he[..., dim:]
-        t_re, t_im = te[..., :dim], te[..., dim:]
-        s_re = h_re * rr - h_im * ri - t_re
-        s_im = h_re * ri + h_im * rr - t_im
+    def split(e):
+        return e[..., :dim], e[..., dim:]
+
+    def dsum(s_re, s_im):
         return jnp.sum(jnp.sqrt(jnp.maximum(s_re * s_re + s_im * s_im, 1e-30)), -1)
 
+    h_re, h_im = split(params["ent"][h])
+    t_re, t_im = split(params["ent"][t])
+    hr_re = h_re * r_re - h_im * r_im                       # h ∘ r, [B, dim]
+    hr_im = h_re * r_im + h_im * r_re
     margin = jax.lax.stop_gradient(params["margin"])
-    p = margin - dist(params["ent"][h], params["ent"][t], r_re, r_im)
-    n = margin - dist(params["ent"][neg_h], params["ent"][neg_t],
-                      r_re[:, None, :], r_im[:, None, :])
+    p = margin - dsum(hr_re - t_re, hr_im - t_im)
+
+    if batch.neg_ent is None:
+        nh_re, nh_im = split(params["ent"][batch.neg_h])
+        nt_re, nt_im = split(params["ent"][batch.neg_t])
+        s_re = nh_re * r_re[:, None] - nh_im * r_im[:, None] - nt_re
+        s_im = nh_re * r_im[:, None] + nh_im * r_re[:, None] - nt_im
+        return p, margin - dsum(s_re, s_im)
+
+    e_re, e_im = split(params["ent"][batch.neg_ent])        # [B, N, dim]
+    # tail replaced: |h∘r − e|; head replaced: |e∘r − t|
+    d_tail = dsum(hr_re[:, None] - e_re, hr_im[:, None] - e_im)
+    er_re = e_re * r_re[:, None] - e_im * r_im[:, None]
+    er_im = e_re * r_im[:, None] + e_im * r_re[:, None]
+    d_head = dsum(er_re - t_re[:, None], er_im - t_im[:, None])
+    n = margin - jnp.where(batch.neg_side, d_tail, d_head)
     return p, n
 
 

@@ -151,6 +151,14 @@ class NegativeBatch(NamedTuple):
     t: jnp.ndarray
     neg_h: jnp.ndarray
     neg_t: jnp.ndarray
+    # Structured view of the same corruptions: the sampled entity and which
+    # side it replaced (True = tail). Lets models avoid gathering the
+    # UNCORRUPTED side per negative — those rows duplicate the positive
+    # entity, and their gradient scatter-adds collide n_neg-ways per row
+    # (the dominant cost of the RotatE step at dim 1024). None on batches
+    # built by legacy callers.
+    neg_ent: jnp.ndarray | None = None
+    neg_side: jnp.ndarray | None = None
 
 
 def _gather_row_d(values, start, cnt, n_total, pad):
@@ -247,7 +255,8 @@ def corrupt_batch(key: jax.Array, kg: DeviceKG, h: jnp.ndarray, r: jnp.ndarray,
 
     neg_t = jnp.where(side, sample, t[:, None])
     neg_h = jnp.where(side, h[:, None], sample)
-    return NegativeBatch(h=h, r=r, t=t, neg_h=neg_h, neg_t=neg_t)
+    return NegativeBatch(h=h, r=r, t=t, neg_h=neg_h, neg_t=neg_t,
+                         neg_ent=sample, neg_side=side)
 
 
 @functools.partial(jax.jit, static_argnames=("batch_size", "n_neg", "bern", "pad"))

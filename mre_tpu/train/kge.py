@@ -138,8 +138,7 @@ class KGETrainer:
             if model.score_pos_neg is not None:
                 kw = ({"p_norm": cfg.p_norm, "norm_flag": cfg.norm_flag}
                       if cfg.model in ("transe", "transh", "transr", "transd") else {})
-                p, n = model.score_pos_neg(params, batch.h, batch.r, batch.t,
-                                           batch.neg_h, batch.neg_t, **kw)
+                p, n = model.score_pos_neg(params, batch, **kw)
                 p = p[:, None]
             else:
                 p = score(params, batch.h, batch.r, batch.t)[:, None]

@@ -120,7 +120,9 @@ def test_transr_structured_paths_match_generic(norm_flag):
     neg_h = jax.random.randint(ks[3], (B, N), 0, N_ENT)
     neg_t = jax.random.randint(ks[4], (B, N), 0, N_ENT)
 
-    p, n = model.score_pos_neg(params, h, r, t, neg_h, neg_t, norm_flag=norm_flag)
+    from mre_tpu.ops.sampling import NegativeBatch
+    batch = NegativeBatch(h=h, r=r, t=t, neg_h=neg_h, neg_t=neg_t)
+    p, n = model.score_pos_neg(params, batch, norm_flag=norm_flag)
     p_ref = model.score(params, h, r, t, norm_flag=norm_flag)
     n_ref = model.score(params, neg_h, jnp.broadcast_to(r[:, None], neg_h.shape),
                         neg_t, norm_flag=norm_flag)
@@ -148,7 +150,9 @@ def test_rotate_structured_path_matches_generic():
     t = jax.random.randint(ks[2], (B,), 0, N_ENT)
     neg_h = jax.random.randint(ks[3], (B, N), 0, N_ENT)
     neg_t = jax.random.randint(ks[4], (B, N), 0, N_ENT)
-    p, n = model.score_pos_neg(params, h, r, t, neg_h, neg_t)
+    from mre_tpu.ops.sampling import NegativeBatch
+    batch = NegativeBatch(h=h, r=r, t=t, neg_h=neg_h, neg_t=neg_t)
+    p, n = model.score_pos_neg(params, batch)
     p_ref = model.score(params, h, r, t)
     n_ref = model.score(params, neg_h, jnp.broadcast_to(r[:, None], neg_h.shape), neg_t)
     np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref), rtol=1e-5, atol=1e-5)
@@ -157,7 +161,7 @@ def test_rotate_structured_path_matches_generic():
     # gradient parity (the structured path reaches params through different
     # contractions — the pullback must agree)
     def loss_struct(ps):
-        pp, nn = model.score_pos_neg(ps, h, r, t, neg_h, neg_t)
+        pp, nn = model.score_pos_neg(ps, batch)
         return jnp.sum(pp) - jnp.sum(nn)
 
     def loss_gen(ps):
@@ -167,6 +171,47 @@ def test_rotate_structured_path_matches_generic():
 
     g1 = jax.grad(loss_struct)(params)
     g2 = jax.grad(loss_gen)(params)
+    for k in ("ent", "rel"):
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_rotate_sided_path_matches_generic():
+    """With the sided batch view (neg_ent/neg_side from corrupt_batch), the
+    RotatE structured scorer and its gradients must equal the generic
+    per-triple scorer on the equivalent neg_h/neg_t."""
+    from mre_tpu.data.kg import DeviceKG, TripleTable
+    from mre_tpu.ops import sampling
+
+    rng = np.random.default_rng(3)
+    tri = np.stack([rng.integers(0, N_ENT, 120), rng.integers(0, N_REL, 120),
+                    rng.integers(0, N_ENT, 120)], 1).astype(np.int32)
+    kg = DeviceKG.from_table(TripleTable.build(tri, N_ENT, N_REL))
+    batch = sampling.sample_training_batch(jax.random.key(4), kg, 16, 6, True)
+    assert batch.neg_ent is not None and batch.neg_side is not None
+    # consistency of the sided view with neg_h/neg_t
+    nh = np.where(np.asarray(batch.neg_side), np.asarray(batch.h)[:, None],
+                  np.asarray(batch.neg_ent))
+    np.testing.assert_array_equal(nh, np.asarray(batch.neg_h))
+
+    model = kge.get("rotate")
+    params = model.init(jax.random.key(5), N_ENT, N_REL, dim=DIM)
+
+    def loss_struct(ps):
+        p, n = model.score_pos_neg(ps, batch)
+        return jnp.sum(p) - 0.5 * jnp.sum(n), (p, n)
+
+    def loss_gen(ps):
+        p = model.score(ps, batch.h, batch.r, batch.t)
+        n = model.score(ps, batch.neg_h,
+                        jnp.broadcast_to(batch.r[:, None], batch.neg_h.shape),
+                        batch.neg_t)
+        return jnp.sum(p) - 0.5 * jnp.sum(n), (p, n)
+
+    (l1, (p1, n1)), g1 = jax.value_and_grad(loss_struct, has_aux=True)(params)
+    (l2, (p2, n2)), g2 = jax.value_and_grad(loss_gen, has_aux=True)(params)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(n1), np.asarray(n2), rtol=1e-5, atol=1e-5)
     for k in ("ent", "rel"):
         np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]),
                                    rtol=1e-4, atol=1e-5)
