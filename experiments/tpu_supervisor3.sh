@@ -30,13 +30,33 @@ fresh() {  # fresh <file> — mtime younger than STALL_S?
   [ -f "$1" ] && [ $(( $(date +%s) - $(stat -c %Y "$1") )) -lt "$STALL_S" ]
 }
 
+kill_job() {  # kill_job <subshell-pid> — kill the subshell AND its childrens'
+  # process groups. GNU timeout runs in its own pgroup, so killing only the
+  # subshell orphans timeout+python — a live second axon client wedges the
+  # tunnel (observed 2026-08-17: orphaned profiler raced the relaunch).
+  local pid="$1" self_pgid
+  self_pgid=$(ps -o pgid= -p $$ | tr -d ' ')
+  local kids pgids=""
+  kids=$(ps -eo pid=,ppid= | awk -v p="$pid" '$2==p{print $1}')
+  for k in $kids; do
+    local pg
+    pg=$(ps -o pgid= -p "$k" 2>/dev/null | tr -d ' ')
+    [ -n "$pg" ] && [ "$pg" != "$self_pgid" ] && pgids="$pgids $pg"
+  done
+  kill "$pid" 2>/dev/null
+  for pg in $pgids; do kill -TERM -- "-$pg" 2>/dev/null; done
+  sleep 5
+  kill -9 "$pid" 2>/dev/null
+  for pg in $pgids; do kill -9 -- "-$pg" 2>/dev/null; done
+}
+
 babysit() {  # babysit <pid> <logfile> — wait for exit; kill if log stalls
   local pid="$1" logf="$2"
   while kill -0 "$pid" 2>/dev/null; do
     sleep 60
     if ! fresh "$logf" && kill -0 "$pid" 2>/dev/null; then
-      log "stall: $logf silent >${STALL_S}s, killing $pid"
-      kill "$pid" 2>/dev/null; sleep 5; kill -9 "$pid" 2>/dev/null
+      log "stall: $logf silent >${STALL_S}s, killing $pid (+child pgroups)"
+      kill_job "$pid"
       sleep "$RECOVER_S"
       return 1
     fi
@@ -47,6 +67,7 @@ babysit() {  # babysit <pid> <logfile> — wait for exit; kill if log stalls
 run_job() {  # run_job <jobfile>
   local jobf="$1" name; name=$(basename "$jobf" .job)
   local RESULT="" logf="/tmp/q_${name}.log"
+  local saved_stall="$STALL_S"   # jobs may override STALL_S (long compiles)
   CMD() { log "job $name defined no CMD"; }
   # shellcheck disable=SC1090
   . "$jobf"
@@ -67,6 +88,7 @@ run_job() {  # run_job <jobfile>
   else
     log "GAVE UP: $name"; mv "$jobf" "$Q/.done/${name}.failed"
   fi
+  STALL_S="$saved_stall"
 }
 
 log "supervisor up (queue=$Q, stall=${STALL_S}s)"
