@@ -31,6 +31,7 @@ def main(argv=None):
     ap.add_argument("--image_size", type=int, default=256)
     ap.add_argument("--batch_size", type=int, default=12)
     ap.add_argument("--compute_dtype", default="bfloat16")
+    ap.add_argument("--n_ent", type=int, default=600)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "results", "fusion_tpu_run.json"))
@@ -43,8 +44,9 @@ def main(argv=None):
     from mre_tpu.train.fusion import FusionConfig, FusionTrainer
 
     path = tempfile.mkdtemp()
-    write_zsl_dataset(path, n_ent=600, n_rel=24, n_unseen=4,
-                      triples_per_rel=60, image_size=64, seed=args.seed)
+    write_zsl_dataset(path, n_ent=args.n_ent, n_rel=max(args.n_ent // 25, 4),
+                      n_unseen=2, triples_per_rel=60, image_size=64,
+                      seed=args.seed)
     data = load_zsl_dataset(path, mode="train")
     store = MultimodalStore(
         data["mm_info"], data["rel_des"],
