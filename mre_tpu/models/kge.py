@@ -570,12 +570,17 @@ def _rotate_score_pos_neg(params, batch):
         return p, margin - dsum(s_re, s_im)
 
     e_re, e_im = split(params["ent"][batch.neg_ent])        # [B, N, dim]
-    # tail replaced: |h∘r − e|; head replaced: |e∘r − t|
-    d_tail = dsum(hr_re[:, None] - e_re, hr_im[:, None] - e_im)
-    er_re = e_re * r_re[:, None] - e_im * r_im[:, None]
-    er_im = e_re * r_im[:, None] + e_im * r_re[:, None]
-    d_head = dsum(er_re - t_re[:, None], er_im - t_im[:, None])
-    n = margin - jnp.where(batch.neg_side, d_tail, d_head)
+    # tail replaced: |h∘r − e|; head replaced: |e∘r − t|. The rotation has
+    # unit modulus per component, so |e∘r − t| = |e − t∘conj(r)|: BOTH
+    # sides reduce to |e − c| with a per-POSITIVE center c — one distance
+    # evaluation (and one [B,N,dim] select) per negative instead of two
+    # full distance computations.
+    tc_re = t_re * r_re + t_im * r_im                       # t ∘ conj(r)
+    tc_im = t_im * r_re - t_re * r_im
+    side = batch.neg_side[..., None]
+    c_re = jnp.where(side, hr_re[:, None], tc_re[:, None])
+    c_im = jnp.where(side, hr_im[:, None], tc_im[:, None])
+    n = margin - dsum(e_re - c_re, e_im - c_im)
     return p, n
 
 

@@ -49,16 +49,18 @@ def _head_group(num_heads: int, n_pad: int) -> int:
 
 def pallas_attention_profitable(head_dim: int, num_heads: int = 0,
                                 batch: int | None = None) -> bool:
-    """hd ≥ 64 fills ≥ half the 128-wide lanes (measured: +14% at hd=64 on
-    v5e). Smaller heads go through the lane-packed kernel — measured
-    profitable only at small batch (decoder B12 H16 N321 hd32: +49% vs XLA;
-    B48: −31%, where XLA's big batched einsum wins). Callers must pass
-    ``num_heads`` (0 = unknown → not profitable) and ``batch``."""
-    if head_dim >= 64:
-        return True
-    pack = 128 // max(head_dim, 1)
-    return (head_dim >= 16 and num_heads > 0 and num_heads % pack == 0
-            and batch is not None and batch * num_heads <= 256)
+    """Whether the fused kernel beats XLA's attention at these shapes.
+
+    Round-3 re-measurement with in-program repetition (one jit scanning the
+    kernel REPS times, so per-dispatch relay-tunnel cost cannot pollute
+    sub-ms bodies; experiments/results/pallas_attn_bench_r3.json, v5e) shows
+    XLA ahead at EVERY M3AE shape: encoder B48·H6·N321·hd64 0.913x,
+    decoder B48·H16·N321·hd32 0.749x, decoder B12 0.779x. The round-2
+    "+14% at hd64 / +49% at decoder B12" numbers timed per-call dispatches,
+    not kernels. XLA already fuses QK^T->mask->softmax->V well here, so the
+    default path is XLA everywhere; the kernels stay available explicitly
+    via ``MultiHeadAttention(attention_impl="pallas")``."""
+    return False
 
 
 def _packed_pack(num_heads: int, n_pad: int, hd: int) -> int:
