@@ -1,10 +1,21 @@
 """Headline benchmark: zero-shot candidate-ranking throughput.
 
-Measures the framework's hot path — scoring padded candidate lists with the
-Extractor + generated relation vectors (mre_tpu/eval/zero_shot.py) — on the
-available accelerator, against a faithful PyTorch-CPU re-enactment of the
-reference's per-query host loop (module/zsl_module.py:656-726: per candidate
-list build meta tensors → Extractor forward → cosine → argsort).
+Measures the framework's hot path — scoring per-query candidate lists with
+the Extractor + generated relation vectors (mre_tpu/eval/zero_shot.py) — on
+the available accelerator, against a faithful PyTorch-CPU re-enactment of
+the reference's per-query host loop (module/zsl_module.py:656-726: per
+candidate list build meta tensors → Extractor forward → cosine → argsort).
+
+Workload shape matches the task: each query ranks ONE head entity against a
+candidate list (rel2candidates), so device paths get blocks (heads [Q],
+cands [Q, C]) — exactly what the production evaluator streams
+(eval/zero_shot.py::_rank_stream_block).
+
+Timing: the ranking body runs REPS times inside one jit (lax.scan with a
+rep-index perturbation of the entity ids so XLA cannot CSE the repeats).
+The production evaluator ranks its ~17.6k-query workload in one program, so
+per-program dispatch is amortized to nothing there; the single-dispatch and
+transfer-included variants are still reported as disclosure fields.
 
 Prints ONE JSON line:
   {"metric": "zsl_candidate_ranking_throughput", "value": <triples/sec>,
@@ -26,7 +37,8 @@ MAX_NEIGHBOR = 50
 N_SYMBOLS = 14208 + 235
 N_ENTS = 14208
 C = 301                    # candidates per query (true + 300)
-Q_DEVICE = int(os.environ.get("BENCH_Q", "2048"))  # queries timed on device
+Q_DEVICE = int(os.environ.get("BENCH_Q", "2048"))  # queries per program
+REPS = int(os.environ.get("BENCH_REPS", "10"))     # in-program repetitions
 Q_BASELINE = 64            # queries timed on the torch-cpu reference path
 TEST_SAMPLE = 20
 
@@ -41,9 +53,9 @@ def make_workload(seed=0):
     connections = rng.integers(0, N_SYMBOLS, (N_ENTS, MAX_NEIGHBOR, 2)).astype(np.int32)
     degrees = rng.integers(1, MAX_NEIGHBOR, N_ENTS).astype(np.float32)
     rel_vecs = rng.normal(size=(TEST_SAMPLE, EMB_DIM)).astype(np.float32)
-    pairs = rng.integers(235, N_SYMBOLS, (Q_DEVICE, C, 2)).astype(np.int32)
-    ents = rng.integers(0, N_ENTS, (Q_DEVICE, C, 2)).astype(np.int32)
-    return symbols, connections, degrees, rel_vecs, pairs, ents
+    heads = rng.integers(0, N_ENTS, Q_DEVICE).astype(np.int32)
+    cands = rng.integers(0, N_ENTS, (Q_DEVICE, C)).astype(np.int32)
+    return symbols, connections, degrees, rel_vecs, heads, cands
 
 
 # FLOPs per ranked triple: SupportEncoder matmuls (d→2d→2d→d: 2·2·d·2d)
@@ -52,7 +64,7 @@ FLOPS_PER_TRIPLE = 8 * EMB_DIM * EMB_DIM + 16 * EMB_DIM
 PEAK_TFLOPS = {"float32": 49.0, "bfloat16": 197.0}   # v5e single chip
 
 
-def run_device(symbols, connections, degrees, rel_vecs, pairs, ents):
+def run_device(symbols, connections, degrees, rel_vecs, heads, cands):
     import jax
     import jax.numpy as jnp
 
@@ -63,7 +75,7 @@ def run_device(symbols, connections, degrees, rel_vecs, pairs, ents):
     symbols_d = jnp.asarray(symbols)
     conns_d = jnp.asarray(connections)
     degs_d = jnp.asarray(degrees)
-    dummy = jnp.asarray(pairs[0, :2])
+    dummy = jnp.asarray(np.stack([heads[:2], cands[0, :2]], 1))
     meta0 = (conns_d[jnp.zeros(2, jnp.int32)], degs_d[jnp.zeros(2, jnp.int32)],
              conns_d[jnp.zeros(2, jnp.int32)], degs_d[jnp.zeros(2, jnp.int32)])
     params = extractor.init({"params": jax.random.key(0)}, symbols_d, dummy,
@@ -85,130 +97,146 @@ def run_device(symbols, connections, degrees, rel_vecs, pairs, ents):
     chunk = int(os.environ.get("BENCH_CHUNK", "128"))  # scan step width
     n_chunks = Q_DEVICE // chunk
     rel_vecs_d = jnp.asarray(rel_vecs)
-    # staged device-resident inputs (in production the async host pipeline
-    # overlaps these transfers with compute; the relay tunnel's transfer
-    # jitter would otherwise dominate the measurement)
-    lefts = jnp.asarray(ents[:, :, 0].reshape(n_chunks, chunk * C))
-    rights = jnp.asarray(ents[:, :, 1].reshape(n_chunks, chunk * C))
+    # staged device-resident inputs (the production evaluator keeps its
+    # whole padded stream device-resident; transfer-included variants below)
+    heads_c = jnp.asarray(heads.reshape(n_chunks, chunk))
+    cands_c = jnp.asarray(cands.reshape(n_chunks, chunk, C))
 
-    def build(dtype):
-        """One whole-workload device program (lax.scan over query chunks in
-        a single jit — per-call dispatch through the relay tunnel costs ~ms).
-        ``dtype`` runs the table gathers + SupportEncoder in that dtype
-        (bf16 = MXU-native, half the gather bytes); scores rank in f32."""
+    def build(dtype, path):
+        """Whole-workload programs for one (dtype, path) combination.
+
+        Returns (ranks_fn, timed_fn): ranks_fn computes the ranks once;
+        timed_fn runs the identical body REPS times in-program with a
+        rep-index perturbation of the entity ids (defeats CSE)."""
         cdt = jnp.dtype(dtype)
         Ld, Rd = L32.astype(cdt), R32.astype(cdt)
         pd = jax.tree_util.tree_map(lambda x: x.astype(cdt), params)
+        ones = jnp.ones((chunk, C), bool)
+
+        def body(hd, cd):
+            if path == "head_shared":
+                emb = extractor.apply({"params": pd}, Ld, Rd, hd, cd,
+                                      method=extractor.embed_pairs_head_shared)
+            else:
+                emb = extractor.apply(
+                    {"params": pd}, Ld, Rd,
+                    jnp.repeat(hd, C), cd.reshape(-1),
+                    method=extractor.embed_pairs_factored).reshape(chunk, C, EMB_DIM)
+            return _score_and_rank(emb.astype(jnp.float32), rel_vecs_d, ones)
 
         @jax.jit
-        def score_all(lefts, rights, rel_vecs_d):
-            def step(_, lr):
-                l, r = lr
-                emb = extractor.apply({"params": pd}, Ld, Rd, l, r,
-                                      method=extractor.embed_pairs_factored)
-                emb = emb.reshape(chunk, C, EMB_DIM).astype(jnp.float32)
-                mask = jnp.ones((chunk, C), bool)
-                return None, _score_and_rank(emb, rel_vecs_d, mask)
-
-            _, ranks = jax.lax.scan(step, None, (lefts, rights))
+        def ranks_fn(heads_c, cands_c):
+            def step(_, x):
+                hd, cd = x
+                return None, body(hd, cd)
+            _, ranks = jax.lax.scan(step, None, (heads_c, cands_c))
             return ranks.reshape(-1)
 
-        return score_all
+        @jax.jit
+        def timed_fn(heads_c, cands_c):
+            def rep(acc, i):
+                def step(a, x):
+                    hd, cd = x
+                    hd = (hd + i) % N_ENTS
+                    cd = (cd + i) % N_ENTS
+                    return a + body(hd, cd).sum(), None
+                a, _ = jax.lax.scan(step, jnp.zeros((), jnp.int32),
+                                    (heads_c, cands_c))
+                return acc + a, None
+            acc, _ = jax.lax.scan(rep, jnp.zeros((), jnp.int32),
+                                  jnp.arange(REPS))
+            return acc
+
+        return ranks_fn, timed_fn
+
+    def best_of(fn, *args, n=3):
+        jax.block_until_ready(fn(*args))            # compile/warm
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(*args))
+            best = min(best, time.perf_counter() - t0)
+        return best
 
     results = {}
     for dtype in ("float32", "bfloat16"):
-        score_all = build(dtype)
+        for path in ("factored", "head_shared"):
+            ranks_fn, timed_fn = build(dtype, path)
+            log(f"device[{dtype}/{path}]: compiling...")
+            ranks = np.asarray(jax.block_until_ready(ranks_fn(heads_c, cands_c)))
+            t_once = best_of(ranks_fn, heads_c, cands_c)      # single dispatch
+            t_reps = best_of(timed_fn, heads_c, cands_c)      # REPS in-program
+            tput = Q_DEVICE * C * REPS / t_reps
+            key = f"{dtype[0] == 'b' and 'bf16' or 'f32'}_{path}"
+            results[key] = {
+                "triples_per_sec": tput,
+                "triples_per_sec_single_dispatch": Q_DEVICE * C / t_once,
+                "ranks": ranks,
+                "achieved_tflops": tput * FLOPS_PER_TRIPLE / 1e12,
+                "mfu": tput * FLOPS_PER_TRIPLE / 1e12 / PEAK_TFLOPS[dtype],
+            }
+            log(f"device[{dtype}/{path}]: {tput:,.0f} triples/sec in-program "
+                f"({results[key]['achieved_tflops']:.2f} TFLOP/s, MFU "
+                f"{results[key]['mfu']*100:.1f}%); single-dispatch "
+                f"{results[key]['triples_per_sec_single_dispatch']:,.0f}")
 
-        def run_all():
-            return jax.block_until_ready(score_all(lefts, rights, rel_vecs_d))
+    # transfer-included variants on the best path (head_shared bf16):
+    # (a) unoverlapped: whole-workload host→device copy inside the timed
+    #     region; (b) overlapped: per-chunk double-buffered device_put, the
+    #     production host-pipeline shape.
+    ranks_fn, _ = build("bfloat16", "head_shared")
 
-        log(f"device[{dtype}]: compiling...")
-        ranks = run_all()
-        log(f"device[{dtype}]: timing (best of 3)...")
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            run_all()
-            best = min(best, time.perf_counter() - t0)
+    def run_e2e():
+        hc = jnp.asarray(heads.reshape(n_chunks, chunk))
+        cc = jnp.asarray(cands.reshape(n_chunks, chunk, C))
+        return jax.block_until_ready(ranks_fn(hc, cc))
 
-        # end-to-end variant: host→device transfer of the query ids inside
-        # the timed region (no pre-staging, no overlap) — bounded by the
-        # relay tunnel's transfer bandwidth, reported for transparency.
-        def run_all_e2e():
-            l = jnp.asarray(ents[:, :, 0].reshape(n_chunks, chunk * C))
-            r = jnp.asarray(ents[:, :, 1].reshape(n_chunks, chunk * C))
-            return jax.block_until_ready(score_all(l, r, rel_vecs_d))
+    t = best_of(run_e2e, n=2)
+    results["e2e_unoverlapped_tps"] = Q_DEVICE * C / t
 
-        run_all_e2e()
-        best_e2e = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            run_all_e2e()
-            best_e2e = min(best_e2e, time.perf_counter() - t0)
+    h_np = np.ascontiguousarray(heads.reshape(n_chunks, chunk))
+    c_np = np.ascontiguousarray(cands.reshape(n_chunks, chunk, C))
+    Ld, Rd = L32.astype(jnp.bfloat16), R32.astype(jnp.bfloat16)
+    pd = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+    ones = jnp.ones((chunk, C), bool)
 
-        # overlapped e2e: per-chunk program with double-buffered input
-        # staging — device_put for chunk i+1 is issued (async) before chunk
-        # i's compute, so transfer and compute pipeline instead of
-        # serializing. This is the production host-pipeline shape.
-        cdt = jnp.dtype(dtype)
-        Ld, Rd = L32.astype(cdt), R32.astype(cdt)
-        pd = jax.tree_util.tree_map(lambda x: x.astype(cdt), params)
+    @jax.jit
+    def score_chunk(hd, cd, rv):
+        emb = extractor.apply({"params": pd}, Ld, Rd, hd, cd,
+                              method=extractor.embed_pairs_head_shared)
+        return _score_and_rank(emb.astype(jnp.float32), rv, ones)
 
-        @jax.jit
-        def score_chunk(l, r, rv):
-            emb = extractor.apply({"params": pd}, Ld, Rd, l, r,
-                                  method=extractor.embed_pairs_factored)
-            emb = emb.reshape(chunk, C, EMB_DIM).astype(jnp.float32)
-            return _score_and_rank(emb, rv, jnp.ones((chunk, C), bool))
+    def run_overlapped():
+        bufs = [(jax.device_put(h_np[0]), jax.device_put(c_np[0]))]
+        outs = []
+        for i in range(n_chunks):
+            if i + 1 < n_chunks:
+                bufs.append((jax.device_put(h_np[i + 1]),
+                             jax.device_put(c_np[i + 1])))
+            hi, ci = bufs[i]
+            outs.append(score_chunk(hi, ci, rel_vecs_d))
+        return jax.block_until_ready(outs)
 
-        l_np = np.ascontiguousarray(ents[:, :, 0].reshape(n_chunks, chunk * C))
-        r_np = np.ascontiguousarray(ents[:, :, 1].reshape(n_chunks, chunk * C))
+    t = best_of(run_overlapped, n=2)
+    results["e2e_overlapped_tps"] = Q_DEVICE * C / t
+    log(f"e2e: unoverlapped {results['e2e_unoverlapped_tps']:,.0f}, "
+        f"overlapped {results['e2e_overlapped_tps']:,.0f} triples/sec")
 
-        def run_all_e2e_overlapped():
-            bufs = [(jax.device_put(l_np[0]), jax.device_put(r_np[0]))]
-            outs = []
-            for i in range(n_chunks):
-                if i + 1 < n_chunks:
-                    bufs.append((jax.device_put(l_np[i + 1]),
-                                 jax.device_put(r_np[i + 1])))
-                li, ri = bufs[i]
-                outs.append(score_chunk(li, ri, rel_vecs_d))
-            return jax.block_until_ready(outs)
-
-        run_all_e2e_overlapped()
-        best_ov = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            run_all_e2e_overlapped()
-            best_ov = min(best_ov, time.perf_counter() - t0)
-
-        tput = Q_DEVICE * C / best
-        results[dtype] = {
-            "triples_per_sec": tput,
-            "triples_per_sec_e2e": Q_DEVICE * C / best_e2e,
-            "triples_per_sec_e2e_overlapped": Q_DEVICE * C / best_ov,
-            "ranks": np.asarray(ranks),
-            "achieved_tflops": tput * FLOPS_PER_TRIPLE / 1e12,
-            "mfu": tput * FLOPS_PER_TRIPLE / 1e12 / PEAK_TFLOPS[dtype],
-        }
-        log(f"device[{dtype}]: {tput:,.0f} triples/sec "
-            f"({results[dtype]['achieved_tflops']:.2f} TFLOP/s, "
-            f"MFU {results[dtype]['mfu']*100:.1f}% of {dtype} peak; "
-            f"e2e unoverlapped {results[dtype]['triples_per_sec_e2e']:,.0f})")
-
-    r32, r16 = results["float32"]["ranks"], results["bfloat16"]["ranks"]
-    results["bf16_rank_match"] = float(np.mean(r32 == r16))
-    for name, ranks in (("f32", r32), ("bf16", r16)):
-        results[f"hits10_{name}"] = float(np.mean(ranks <= 10))
-        results[f"hits5_{name}"] = float(np.mean(ranks <= 5))
-        results[f"mrr_{name}"] = float(np.mean(1.0 / ranks))
-    log(f"bf16 vs f32: rank match {results['bf16_rank_match']*100:.2f}%, "
-        f"hits10 {results['hits10_f32']:.4f}/{results['hits10_bf16']:.4f}, "
-        f"mrr {results['mrr_f32']:.4f}/{results['mrr_bf16']:.4f}")
+    # quality parity across dtype/path (same workload → same metrics)
+    r_ref = results["f32_factored"]["ranks"]
+    for key in ("f32_head_shared", "bf16_factored", "bf16_head_shared"):
+        r = results[key]["ranks"]
+        results[key]["rank_match_vs_f32_factored"] = float(np.mean(r == r_ref))
+    for key in ("f32_factored", "f32_head_shared", "bf16_factored",
+                "bf16_head_shared"):
+        ranks = results[key]["ranks"]
+        results[key]["hits10"] = float(np.mean(ranks <= 10))
+        results[key]["hits5"] = float(np.mean(ranks <= 5))
+        results[key]["mrr"] = float(np.mean(1.0 / ranks))
     return results
 
 
-def run_torch_baseline(symbols, connections, degrees, rel_vecs, pairs, ents):
+def run_torch_baseline(symbols, connections, degrees, rel_vecs, heads, cands):
     """Reference-shaped per-query loop on torch CPU (zsl_module.py:656-726)."""
     import torch
 
@@ -246,23 +274,29 @@ def run_torch_baseline(symbols, connections, degrees, rel_vecs, pairs, ents):
     conn_t = torch.from_numpy(connections)
     deg_t = torch.from_numpy(degrees)
 
-    def meta_for(idx):
-        # per-query host stacking, as the reference's get_meta does
-        lc = torch.stack([conn_t[i] for i in idx[:, 0]])
-        rc = torch.stack([conn_t[i] for i in idx[:, 1]])
-        ld = torch.tensor([float(deg_t[i]) for i in idx[:, 0]])
-        rd = torch.tensor([float(deg_t[i]) for i in idx[:, 1]])
+    def meta_for(hs, cs):
+        # per-query host stacking, as the reference's get_meta does: the
+        # head's connection row is stacked once per candidate
+        lc = torch.stack([conn_t[i] for i in hs])
+        rc = torch.stack([conn_t[i] for i in cs])
+        ld = torch.tensor([float(deg_t[i]) for i in hs])
+        rd = torch.tensor([float(deg_t[i]) for i in cs])
         return lc, ld, rc, rd
+
+    def query_tensor(q):
+        hs = np.full(C, 235 + heads[q], np.int64)
+        cs = 235 + cands[q].astype(np.int64)
+        return (torch.from_numpy(np.stack([hs, cs], 1)),
+                meta_for(np.full(C, heads[q]), cands[q]))
 
     # warmup (thread-pool spinup / first-call allocs), excluded from timing
     with torch.no_grad():
-        _ = model(torch.from_numpy(pairs[0].astype(np.int64)), meta_for(ents[0]))
+        _ = model(*query_tensor(0))
 
     t0 = time.perf_counter()
     with torch.no_grad():
         for q in range(Q_BASELINE):
-            query = torch.from_numpy(pairs[q].astype(np.int64))
-            meta = meta_for(ents[q])
+            query, meta = query_tensor(q)
             emb = model(query, meta).numpy()
             # cosine vs TEST_SAMPLE relation vectors, mean, argsort (host)
             a = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
@@ -277,42 +311,50 @@ def run_torch_baseline(symbols, connections, degrees, rel_vecs, pairs, ents):
 def main():
     workload = make_workload()
     res = run_device(*workload)
-    # headline = bf16 when its METRICS agree with f32 (quality-safe).
-    # Exact per-rank equality is not required: the workload's cosine scores
-    # are near-tied, so f32-vs-bf16 rank shuffles there are as meaningless
-    # as f32-vs-f64 ones — the deliverable metrics are Hits@k/MRR.
-    use_bf16 = (abs(res["hits10_bf16"] - res["hits10_f32"]) < 2e-3
-                and abs(res["hits5_bf16"] - res["hits5_f32"]) < 2e-3
-                and abs(res["mrr_bf16"] - res["mrr_f32"]) < 2e-3
-                and res["bfloat16"]["triples_per_sec"] > res["float32"]["triples_per_sec"])
-    head = res["bfloat16"] if use_bf16 else res["float32"]
-    throughput = head["triples_per_sec"]
-    log(f"device throughput: {throughput:,.0f} triples/sec "
-        f"({'bf16' if use_bf16 else 'f32'} path)")
+    # headline = fastest path whose METRICS agree with the f32 factored
+    # reference path (quality-safe). Exact per-rank equality is not
+    # required: near-tied cosine scores shuffle under dtype/assoc changes;
+    # the deliverable metrics are Hits@k/MRR.
+    ref = res["f32_factored"]
+    candidates = []
+    for key in ("bf16_head_shared", "f32_head_shared", "bf16_factored",
+                "f32_factored"):
+        r = res[key]
+        if (abs(r["hits10"] - ref["hits10"]) < 2e-3
+                and abs(r["hits5"] - ref["hits5"]) < 2e-3
+                and abs(r["mrr"] - ref["mrr"]) < 2e-3):
+            candidates.append((r["triples_per_sec"], key))
+    tput, head_key = max(candidates)
+    head = res[head_key]
+    log(f"headline path: {head_key} at {tput:,.0f} triples/sec")
     try:
         baseline = run_torch_baseline(*workload)
         log(f"torch-cpu reference throughput: {baseline:,.0f} triples/sec")
-        vs = throughput / baseline
+        vs = tput / baseline
     except Exception as e:  # torch unavailable → report raw throughput
         log(f"baseline failed: {e}")
         baseline, vs = None, float("nan")
     print(json.dumps({
         "metric": "zsl_candidate_ranking_throughput",
-        "value": round(throughput, 1),
+        "value": round(tput, 1),
         "unit": "triples/sec",
         "vs_baseline": round(vs, 2) if vs == vs else None,
-        "compute_dtype": "bfloat16" if use_bf16 else "float32",
+        "path": head_key,
         "achieved_tflops": round(head["achieved_tflops"], 2),
         "mfu": round(head["mfu"], 4),
         "flops_per_triple": FLOPS_PER_TRIPLE,
-        "peak_tflops_assumed": PEAK_TFLOPS["bfloat16" if use_bf16 else "float32"],
-        "bf16_rank_match": round(res["bf16_rank_match"], 4),
-        "f32_triples_per_sec": round(res["float32"]["triples_per_sec"], 1),
-        "bf16_triples_per_sec": round(res["bfloat16"]["triples_per_sec"], 1),
-        # disclosure fields: sequential host→device transfers included /
-        # baseline measurement size
-        "value_unoverlapped_transfers": round(head["triples_per_sec_e2e"], 1),
-        "value_overlapped_transfers": round(head["triples_per_sec_e2e_overlapped"], 1),
+        "peak_tflops_assumed": PEAK_TFLOPS[
+            "bfloat16" if head_key.startswith("bf16") else "float32"],
+        "in_program_reps": REPS,
+        "rank_match_vs_f32_factored": head.get("rank_match_vs_f32_factored", 1.0),
+        "hits10": round(head["hits10"], 4),
+        "mrr": round(head["mrr"], 4),
+        # disclosure fields
+        "value_single_dispatch": round(head["triples_per_sec_single_dispatch"], 1),
+        "value_unoverlapped_transfers": round(res["e2e_unoverlapped_tps"], 1),
+        "value_overlapped_transfers": round(res["e2e_overlapped_tps"], 1),
+        "f32_factored_tps": round(res["f32_factored"]["triples_per_sec"], 1),
+        "bf16_head_shared_tps": round(res["bf16_head_shared"]["triples_per_sec"], 1),
         "baseline_triples_per_sec": round(baseline, 1) if baseline else None,
         "baseline_queries": Q_BASELINE,
     }))

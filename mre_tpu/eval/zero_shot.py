@@ -90,10 +90,39 @@ def _rank_stream(embed_query_pairs: Callable, pairs, left, right, mask, vbar,
     return np.asarray(run(pairs, left, right, mask, vbar))
 
 
+def _rank_stream_block(embed_query_block: Callable, heads, right, mask, vbar,
+                       chunk: int, c_max: int):
+    """Block variant of ``_rank_stream``: one head entity per query.
+
+    ``embed_query_block(heads [chunk], cands [chunk, c_max]) → [chunk,
+    c_max, D]`` (``Extractor.embed_pairs_head_shared``): the head row is
+    gathered once per query instead of once per candidate, halving the
+    latency-bound gather rows that dominate the ranking hot path."""
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run(heads, right, mask, vbar):
+        def step(_, x):
+            hd, r, m, v = x
+            emb = embed_query_block(hd, r)
+            emb = emb / jnp.maximum(
+                jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+            scores = jnp.einsum("qcd,qd->qc", emb, v,
+                                preferred_element_type=jnp.float32)
+            true_s = scores[:, :1]
+            valid = m.at[:, 0].set(False)
+            return None, jnp.sum(jnp.logical_and(scores >= true_s, valid), 1) + 1
+
+        _, ranks = jax.lax.scan(step, None, (heads, right, mask, vbar))
+        return ranks.reshape(-1)
+
+    return np.asarray(run(heads, right, mask, vbar))
+
+
 def evaluate_zero_shot(test_candidates: dict, symbol2id: dict, e2id: dict,
                        rel2id: dict, embed_query_pairs: Callable,
                        generate_relation_vecs: Callable,
-                       query_chunk: int = 64, verbose: bool = True) -> dict:
+                       query_chunk: int = 64, verbose: bool = True,
+                       embed_query_block: Callable | None = None) -> dict:
     """Run zero-shot ranking over every unseen relation.
 
     ``embed_query_pairs(pairs [N,2] symbol ids, left [N], right [N]) → [N, D]``
@@ -124,19 +153,23 @@ def evaluate_zero_shot(test_candidates: dict, symbol2id: dict, e2id: dict,
         for key, cands in queries.items():
             head, _, _ = key.split("\t")
             n = len(cands)
-            p = np.zeros((c_max, 2), np.int32)
-            l = np.zeros(c_max, np.int32)
             r = np.zeros(c_max, np.int32)
             m = np.zeros(c_max, bool)
-            p[:n, 0] = symbol2id[head]
-            p[:n, 1] = [symbol2id[c] for c in cands]
-            l[:n] = e2id[head]
             r[:n] = [e2id[c] for c in cands]
             m[:n] = True
-            pairs_l.append(p); left_l.append(l); right_l.append(r)
+            if embed_query_block is not None:
+                left_l.append(e2id[head])
+            else:
+                p = np.zeros((c_max, 2), np.int32)
+                l = np.zeros(c_max, np.int32)
+                p[:n, 0] = symbol2id[head]
+                p[:n, 1] = [symbol2id[c] for c in cands]
+                l[:n] = e2id[head]
+                pairs_l.append(p); left_l.append(l)
+            right_l.append(r)
             mask_l.append(m); vbar_l.append(vbar)
 
-    n_q = len(pairs_l)
+    n_q = len(right_l)
     if n_q == 0:
         # Zero evaluable queries (empty/mis-pathed candidates file): report
         # zeros with n=0 so a misloaded dataset can never masquerade as a
@@ -147,21 +180,33 @@ def evaluate_zero_shot(test_candidates: dict, symbol2id: dict, e2id: dict,
     pad_q = ((n_q + query_chunk - 1) // query_chunk) * query_chunk
     D = vbar_l[0].shape[0]
     for _ in range(pad_q - n_q):
-        pairs_l.append(np.zeros((c_max, 2), np.int32))
-        left_l.append(np.zeros(c_max, np.int32))
+        if embed_query_block is not None:
+            left_l.append(0)
+        else:
+            pairs_l.append(np.zeros((c_max, 2), np.int32))
+            left_l.append(np.zeros(c_max, np.int32))
         right_l.append(np.zeros(c_max, np.int32))
         mask_l.append(np.zeros(c_max, bool))
         vbar_l.append(np.zeros(D, np.float32))
 
     nc = pad_q // query_chunk
-    ranks = _rank_stream(
-        embed_query_pairs,
-        jnp.asarray(np.stack(pairs_l).reshape(nc, query_chunk, c_max, 2)),
-        jnp.asarray(np.stack(left_l).reshape(nc, query_chunk, c_max)),
-        jnp.asarray(np.stack(right_l).reshape(nc, query_chunk, c_max)),
-        jnp.asarray(np.stack(mask_l).reshape(nc, query_chunk, c_max)),
-        jnp.asarray(np.stack(vbar_l).reshape(nc, query_chunk, D)),
-        query_chunk, c_max)[:n_q]
+    if embed_query_block is not None:
+        ranks = _rank_stream_block(
+            embed_query_block,
+            jnp.asarray(np.asarray(left_l, np.int32).reshape(nc, query_chunk)),
+            jnp.asarray(np.stack(right_l).reshape(nc, query_chunk, c_max)),
+            jnp.asarray(np.stack(mask_l).reshape(nc, query_chunk, c_max)),
+            jnp.asarray(np.stack(vbar_l).reshape(nc, query_chunk, D)),
+            query_chunk, c_max)[:n_q]
+    else:
+        ranks = _rank_stream(
+            embed_query_pairs,
+            jnp.asarray(np.stack(pairs_l).reshape(nc, query_chunk, c_max, 2)),
+            jnp.asarray(np.stack(left_l).reshape(nc, query_chunk, c_max)),
+            jnp.asarray(np.stack(right_l).reshape(nc, query_chunk, c_max)),
+            jnp.asarray(np.stack(mask_l).reshape(nc, query_chunk, c_max)),
+            jnp.asarray(np.stack(vbar_l).reshape(nc, query_chunk, D)),
+            query_chunk, c_max)[:n_q]
 
     off = 0
     for rel, cnt in zip(rel_order, counts):

@@ -132,6 +132,36 @@ class Extractor(nn.Module):
         """Pair embeddings from the factored tables: [N] entity ids."""
         return self.support_encoder(L[left] + R[right], True)
 
+    def embed_pairs_head_shared(self, L, R, left, right):
+        """Pair embeddings for per-query candidate blocks: left [Q] head
+        entity ids, right [Q, C] candidate ids → [Q, C, D].
+
+        Numerically ≡ ``embed_pairs_factored(L, R, repeat(left, C),
+        right.ravel())`` reshaped, exploiting the zero-shot query shape
+        (zsl_module.py:656-726: ONE head entity ranked against a candidate
+        list): the head row is gathered and pushed through the
+        SupportEncoder's first matmul ONCE per query — the L+R add
+        distributes over it ((L+R)·W1 = L·W1 + R·W1) — halving the
+        latency-bound gather rows on the eval hot path (the dominant cost:
+        experiments/results/eval_roofline.json)."""
+        p = self.support_encoder.variables["params"]
+        W1, b1 = p["proj1"]["kernel"], p["proj1"]["bias"]
+        W2, b2 = p["proj2"]["kernel"], p["proj2"]["bias"]
+        ln = p["LayerNorm_0"]
+        Lr = L[left]                                   # [Q, D]
+        Rr = R[right]                                  # [Q, C, D]
+        A = Lr @ W1                                    # [Q, 2D]
+        B = Rr @ W1 + b1                               # [Q, C, 2D]
+        h = nn.relu(A[:, None, :] + B)
+        out = h @ W2 + b2                              # [Q, C, D]
+        y = out + (Lr[:, None, :] + Rr)                # residual
+        # inline LayerNorm (flax default: f32 stats, eps 1e-6)
+        y32 = y.astype(jnp.float32)
+        mu = jnp.mean(y32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(y32), axis=-1, keepdims=True) - jnp.square(mu)
+        norm = (y32 - mu) * jax.lax.rsqrt(var + 1e-6)
+        return (norm.astype(y.dtype) * ln["scale"] + ln["bias"])
+
 
 class Discriminator(nn.Module):
     dim: int = 200

@@ -566,6 +566,13 @@ class ZSLModule:
                 method=self.extractor.embed_pairs_factored)
             return emb.astype(jnp.float32)
 
+        def embed_block(heads, cands):
+            # one head gather + distributed first matmul per query block
+            emb = self.extractor.apply(
+                {"params": ex_params_eval}, L, R, heads, cands,
+                method=self.extractor.embed_pairs_head_shared)
+            return emb.astype(jnp.float32)
+
         if predict_unseen is not None:
             def gen_rel_vecs(rel_name):
                 return np.asarray(predict_unseen([self.r2id[rel_name]]))
@@ -578,4 +585,5 @@ class ZSLModule:
 
         return evaluate_zero_shot(
             test_candidates, self.symbols.symbol2id, self.e2id, self.r2id,
-            embed, gen_rel_vecs, query_chunk=query_chunk, verbose=verbose)
+            embed, gen_rel_vecs, query_chunk=query_chunk, verbose=verbose,
+            embed_query_block=embed_block)

@@ -192,3 +192,38 @@ def test_evaluate_zero_shot_empty_candidates_reports_zero():
     out = evaluate_zero_shot({}, {}, {}, {}, None, None, verbose=False)
     assert out["n"] == 0
     assert out["hits10"] == 0.0 and out["mrr"] == 0.0
+
+
+def test_head_shared_pair_embedding_matches_factored():
+    """embed_pairs_head_shared (one head gather + distributed first matmul
+    per query block) must equal embed_pairs_factored on the broadcast
+    (head, candidate) cross product."""
+    import jax
+    import jax.numpy as jnp
+
+    from mre_tpu.models.extractor import Extractor
+
+    D, NS, NE, K, Q, C = 64, 120, 90, 8, 12, 17
+    rng = np.random.default_rng(1)
+    symbols = jnp.asarray(rng.normal(size=(NS + 1, D)).astype(np.float32))
+    conns = jnp.asarray(rng.integers(0, NS, (NE, K, 2)).astype(np.int32))
+    degs = jnp.asarray(rng.integers(1, K, NE).astype(np.float32))
+    ex = Extractor(embed_dim=D)
+    dummy = jnp.asarray(rng.integers(30, NS, (2, 2)).astype(np.int32))
+    meta0 = (conns[:2], degs[:2], conns[:2], degs[:2])
+    params = ex.init({"params": jax.random.key(0)}, symbols, dummy, dummy,
+                     meta0, meta0, True)["params"]
+    nbr = ex.apply({"params": params}, symbols, conns, degs,
+                   method=ex.encode_neighbors)
+    ent_sym = jnp.asarray((30 + np.arange(NE)).astype(np.int32))
+    L, R = ex.apply({"params": params}, symbols, nbr, ent_sym,
+                    method=ex.precompute_pair_tables)
+    heads = jnp.asarray(rng.integers(0, NE, Q).astype(np.int32))
+    cands = jnp.asarray(rng.integers(0, NE, (Q, C)).astype(np.int32))
+    flat = ex.apply({"params": params}, L, R,
+                    jnp.repeat(heads, C), cands.reshape(-1),
+                    method=ex.embed_pairs_factored).reshape(Q, C, D)
+    blk = ex.apply({"params": params}, L, R, heads, cands,
+                   method=ex.embed_pairs_head_shared)
+    np.testing.assert_allclose(np.asarray(blk), np.asarray(flat),
+                               rtol=2e-4, atol=2e-5)
