@@ -51,34 +51,13 @@ def _l2n(x, axis=-1, eps=1e-12):
     return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
 
 
-@jax.custom_vjp
-def gather_rows(table, idx):
-    """``table[idx]`` whose backward is sort + sorted segment-sum.
-
-    The default VJP of a big row gather is an unsorted scatter-add; on TPU
-    that lowered to ~126 GB/s for the RotatE adv step's [128k, 2048]
-    gradient rows — the single largest step cost (10.7 ms of a 43.5 ms
-    step, trace in experiments/results/rotate_trace_r3.json). Sorting the
-    flat indices first (cheap: int sort) turns the accumulation into a
-    sorted segment-sum, which XLA lowers as a linear pass."""
-    return table[idx]
-
-
-def _gather_rows_fwd(table, idx):
-    return table[idx], (idx, table.shape[0])
-
-
-def _gather_rows_bwd(res, g):
-    idx, n_rows = res
-    flat_idx = idx.reshape(-1)
-    g2 = g.reshape(-1, g.shape[-1])
-    order = jnp.argsort(flat_idx)
-    seg = jax.ops.segment_sum(g2[order], flat_idx[order],
-                              num_segments=n_rows, indices_are_sorted=True)
-    return seg.astype(g.dtype), None
-
-
-gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+# NOTE (round 3): a custom-VJP gather whose backward sorts the flat indices
+# and segment-sums (replacing the unsorted scatter-add that the RotatE step
+# trace showed costing 10.7 ms at [128k, 2048]) measured NET-NEUTRAL on the
+# v5e — 44.6 vs 43.5 ms/step (rotate_profile_r3c vs r3b): permuting the
+# gradient rows into sorted order is itself a ~1 GB random row gather that
+# costs what the scatter saved. Kept out of the hot path; the scatter IS
+# the bandwidth floor for sampled-negative training at this shape.
 
 
 @dataclasses.dataclass(frozen=True)
@@ -599,7 +578,7 @@ def _rotate_score_pos_neg(params, batch):
         s_im = nh_re * r_im[:, None] + nh_im * r_re[:, None] - nt_im
         return p, margin - dsum(s_re, s_im)
 
-    e_re, e_im = split(gather_rows(params["ent"], batch.neg_ent))  # [B, N, dim]
+    e_re, e_im = split(params["ent"][batch.neg_ent])        # [B, N, dim]
     # tail replaced: |h∘r − e|; head replaced: |e∘r − t|. The rotation has
     # unit modulus per component, so |e∘r − t| = |e − t∘conj(r)|: BOTH
     # sides reduce to |e − c| with a per-POSITIVE center c — one distance
