@@ -85,7 +85,9 @@ def build_config(recipe: str, train_total: int, train_times=None, seed=0):
         dim=dim,
         p_norm=model_kw.get("p_norm", 1),
         norm_flag=model_kw.get("norm_flag", True),
-        margin=loss_kw.get("margin", 5.0),
+        # Adv-style recipes pass margin to the MODEL (margin_flag: forward =
+        # margin − dist), margin-loss recipes to the loss; resolve either.
+        margin=loss_kw.get("margin", model_kw.get("margin", 5.0)),
         loss=loss_name,
         adv_temperature=loss_kw.get("adv_temperature"),
         neg_ent=loader_kw.get("neg_ent", 1),

@@ -155,6 +155,14 @@ class KGETrainer:
                 kwargs["adv_temperature"] = cfg.adv_temperature
             if model.higher_is_better and cfg.loss == "margin":
                 value = loss_fn(-p, -n, **kwargs)
+            elif not model.higher_is_better and cfg.loss in ("sigmoid", "softplus"):
+                # Reference margin_flag semantics (TransE.py:60-89): distance
+                # models trained with sigmoid/softplus losses pass the model a
+                # margin and forward() returns margin − distance (higher is
+                # better), e.g. examples/train_transe_WN18_adv_sigmoidloss.py.
+                # predict() folds the offset back out, so ranking still sees
+                # plain distance.
+                value = loss_fn(cfg.margin - p, cfg.margin - n, **kwargs)
             else:
                 value = loss_fn(p, n, **kwargs)
             if cfg.regul_rate:

@@ -59,3 +59,44 @@ def test_all_models_one_step():
         trainer = KGETrainer(table, cfg)
         final = trainer.run()
         assert np.isfinite(final), name
+
+
+def test_transe_sigmoid_margin_flag_learns():
+    """Reference margin_flag semantics: a distance model trained with the
+    sigmoid adv loss (examples/train_transe_WN18_adv_sigmoidloss.py — which
+    despite its name trains on WN18RR) must feed margin − distance to the
+    loss. The broken orientation (raw distance) pushes positive distances UP
+    and ranking collapses; correct wiring must learn the clustered KG."""
+    table = make_structured_kg()
+    rng = np.random.default_rng(2)
+    idx = rng.permutation(table.n_triples)
+    train = table.triples[idx[:-20]]
+    test = table.triples[idx[-20:]]
+    train_table = TripleTable.build(train, table.n_entities, table.n_relations)
+
+    cfg = KGETrainerConfig(model="transe", dim=16, margin=4.0, norm_flag=False,
+                           loss="sigmoid", adv_temperature=1.0, neg_ent=4,
+                           batch_size=64, train_times=80, nbatches=4,
+                           opt_method="adam", alpha=0.01, bern=False)
+    trainer = KGETrainer(train_table, cfg)
+    trainer.run()
+    res = trainer.link_prediction(test, filter_table=table, chunk=8)
+    assert res["filter"].hits10 > 0.4, res["filter"]
+
+    # And the loss value must equal sigmoid_loss(margin − d_p, margin − d_n).
+    import jax.numpy as jnp
+    from mre_tpu.ops import losses as L
+    from mre_tpu.ops import sampling
+    import jax
+    batch = sampling.sample_training_batch(
+        jax.random.key(0), trainer.kg, cfg.batch_size, cfg.neg_ent, cfg.bern)
+    got = float(trainer._loss_fn(trainer.params, batch))
+    model = trainer.model
+    p = model.score(trainer.params, batch.h, batch.r, batch.t,
+                    p_norm=cfg.p_norm, norm_flag=cfg.norm_flag)[:, None]
+    n = model.score(trainer.params, batch.neg_h,
+                    jnp.broadcast_to(batch.r[:, None], batch.neg_h.shape),
+                    batch.neg_t, p_norm=cfg.p_norm, norm_flag=cfg.norm_flag)
+    want = float(L.sigmoid_loss(cfg.margin - p, cfg.margin - n,
+                                adv_temperature=cfg.adv_temperature))
+    assert abs(got - want) < 1e-5
