@@ -142,6 +142,13 @@ def main(argv=None):
     parser.add_argument("--in_path", required=True)
     parser.add_argument("--train_times", type=int, default=None)
     parser.add_argument("--ckpt_every", type=int, default=250)
+    parser.add_argument("--valid_every", type=int, default=0,
+                        help="if >0, run filtered valid link prediction every N "
+                             "epochs and keep the best-valid params; the result "
+                             "row then also reports test metrics at the best-"
+                             "valid epoch (model selection — used for table "
+                             "cells whose recipe the reference does not vendor, "
+                             "where fixed-budget training overshoots the peak)")
     parser.add_argument("--log_every", type=int, default=25)
     parser.add_argument("--eval_only", action="store_true")
     parser.add_argument("--eval_chunk", type=int, default=64)
@@ -196,6 +203,31 @@ def main(argv=None):
         start_epoch = load_state(ckpt_path, trainer)
         print(f"[parity] resumed from {ckpt_path} at epoch {start_epoch}", flush=True)
 
+    # Filtered link prediction over train+valid+test (Test.h semantics).
+    full = np.concatenate([bench["train"], bench["valid"], bench["test"]])
+    full_table = TripleTable.build(full, bench["n_entities"], bench["n_relations"])
+
+    best_path = os.path.join(args.out_dir, f"{stem}.best.ckpt")
+    best = {"epoch": -1, "valid_filter_hits10": -1.0}
+    if args.valid_every and os.path.exists(best_path + ".state.json"):
+        with open(best_path + ".state.json") as f:
+            best = json.load(f)
+        print(f"[parity] resumed best-valid {best}", flush=True)
+
+    def eval_valid(epoch):
+        import jax
+        from mre_tpu.core import checkpoint as ckpt
+        res = trainer.link_prediction(bench["valid"], filter_table=full_table,
+                                      chunk=args.eval_chunk)
+        h10 = float(res["filter"].hits10)
+        print(f"[parity] {args.recipe} epoch {epoch} valid filter hits10 {h10:.4f}"
+              f" (best {best['valid_filter_hits10']:.4f} @{best['epoch']})", flush=True)
+        if h10 > best["valid_filter_hits10"]:
+            best.update(epoch=epoch, valid_filter_hits10=h10)
+            ckpt.save_checkpoint(best_path, {"params": jax.device_get(trainer.params)})
+            with open(best_path + ".state.json", "w") as f:
+                json.dump(best, f)
+
     if not args.eval_only:
         t0 = time.time()
         for epoch in range(start_epoch, cfg.train_times):
@@ -208,13 +240,12 @@ def main(argv=None):
                 eta = dt / done * (cfg.train_times - epoch - 1)
                 print(f"[parity] {args.recipe} epoch {epoch} loss {loss:.4f} "
                       f"({dt/done:.2f}s/epoch, eta {eta/60:.0f}m)", flush=True)
+            if args.valid_every and (epoch + 1) % args.valid_every == 0:
+                eval_valid(epoch + 1)
             if (epoch + 1) % args.ckpt_every == 0:
                 save_state(ckpt_path, trainer, epoch + 1)
         save_state(ckpt_path, trainer, cfg.train_times)
 
-    # Filtered link prediction over train+valid+test (Test.h semantics).
-    full = np.concatenate([bench["train"], bench["valid"], bench["test"]])
-    full_table = TripleTable.build(full, bench["n_entities"], bench["n_relations"])
     t0 = time.time()
     res = trainer.link_prediction(bench["test"], filter_table=full_table,
                                   chunk=args.eval_chunk)
@@ -239,6 +270,23 @@ def main(argv=None):
                       "hits1": round(float(m.hits1), 4)}
     if published:
         row["vs_published"] = round(row["filter"]["hits10"] / published - 1, 4)
+    if args.valid_every and best["epoch"] >= 0:
+        from mre_tpu.core import checkpoint as ckpt
+        tree = ckpt.load_checkpoint(best_path, {"params": trainer.params})
+        trainer.params = tree["params"]
+        bres = trainer.link_prediction(bench["test"], filter_table=full_table,
+                                       chunk=args.eval_chunk)
+        row["valid_selection"] = dict(best, valid_every=args.valid_every)
+        for split in ("raw", "filter"):
+            m = bres[split]
+            row["best_" + split] = {
+                "mrr": round(float(m.mrr), 4), "mr": round(float(m.mr), 1),
+                "hits10": round(float(m.hits10), 4),
+                "hits3": round(float(m.hits3), 4),
+                "hits1": round(float(m.hits1), 4)}
+        if published:
+            row["best_vs_published"] = round(
+                row["best_filter"]["hits10"] / published - 1, 4)
     with open(result_path, "w") as f:
         json.dump(row, f, indent=1)
     print(f"[parity] RESULT {json.dumps(row)}", flush=True)
