@@ -88,6 +88,10 @@ def build_config(recipe: str, train_total: int, train_times=None, seed=0):
         # Adv-style recipes pass margin to the MODEL (margin_flag: forward =
         # margin − dist), margin-loss recipes to the loss; resolve either.
         margin=loss_kw.get("margin", model_kw.get("margin", 5.0)),
+        # OpenKE margin_flag is opt-in: set only when the recipe passed a
+        # margin to a distance-model constructor (TransE.py:24-33).
+        margin_flag=("margin" in model_kw and model_name.lower() in
+                     ("transe", "transh", "transr", "transd")),
         loss=loss_name,
         adv_temperature=loss_kw.get("adv_temperature"),
         neg_ent=loader_kw.get("neg_ent", 1),
@@ -178,9 +182,21 @@ def main(argv=None):
     cfg = build_config(args.recipe, train_table.n_triples, args.train_times, args.seed)
     overrides = {}
     if args.override:
+        import ast
         for kv in args.override.split(","):
             k, v = kv.split("=")
-            overrides[k] = type(getattr(cfg, k))(v)
+            cur = getattr(cfg, k)
+            if cur is None:
+                # field currently None (e.g. adv_temperature): no type to
+                # coerce to — literal-eval the value (advisor finding).
+                try:
+                    overrides[k] = ast.literal_eval(v)
+                except (ValueError, SyntaxError):
+                    overrides[k] = v
+            elif isinstance(cur, bool):
+                overrides[k] = v.lower() in ("1", "true", "yes")
+            else:
+                overrides[k] = type(cur)(v)
         cfg = dataclasses.replace(cfg, **overrides)
     print(f"[parity] {args.recipe}: {cfg}", flush=True)
     trainer = KGETrainer(train_table, cfg)
@@ -258,6 +274,10 @@ def main(argv=None):
         "train_times": cfg.train_times, "eval_seconds": round(eval_s, 1),
         "published_hits10": published, "seed": args.seed,
     }
+    if args.eval_only and start_epoch < cfg.train_times:
+        # Deadline-harvest of an unfinished run: metrics are from the last
+        # checkpoint (+ best-valid so far), not the full budget.
+        row["partial_at_epoch"] = start_epoch
     if args.tag:
         row["tag"] = args.tag
     if overrides:

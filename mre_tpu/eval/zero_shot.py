@@ -122,7 +122,8 @@ def evaluate_zero_shot(test_candidates: dict, symbol2id: dict, e2id: dict,
                        rel2id: dict, embed_query_pairs: Callable,
                        generate_relation_vecs: Callable,
                        query_chunk: int = 64, verbose: bool = True,
-                       embed_query_block: Callable | None = None) -> dict:
+                       embed_query_block: Callable | None = None,
+                       return_ranks: bool = False) -> dict:
     """Run zero-shot ranking over every unseen relation.
 
     ``embed_query_pairs(pairs [N,2] symbol ids, left [N], right [N]) → [N, D]``
@@ -218,6 +219,10 @@ def evaluate_zero_shot(test_candidates: dict, symbol2id: dict, e2id: dict,
                   f"Hits1:{m['hits1']:.3f} MRR:{m['mrr']:.3f}")
 
     overall = metrics_from_ranks(ranks)
+    if return_ranks:
+        # per-query ranks in stream order (rel_order × insertion order) —
+        # used by the dtype/path fidelity certification (bench gate).
+        overall["ranks"] = np.asarray(ranks, np.int64)
     if verbose:
         print(f"OVERALL HITS10: {overall['hits10']:.3f}  HITS5: {overall['hits5']:.3f}  "
               f"HITS1: {overall['hits1']:.3f}  MRR: {overall['mrr']:.3f}")

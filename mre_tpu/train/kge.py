@@ -88,6 +88,11 @@ class KGETrainerConfig:
     p_norm: int = 1
     norm_flag: bool = True
     margin: float = 5.0
+    # OpenKE margin_flag (TransE.py:24-33): distance models apply forward =
+    # margin − distance ONLY when the example passed margin to the MODEL
+    # constructor (e.g. train_transe_WN18_adv_sigmoidloss.py); it is opt-in,
+    # so a sigmoid/softplus run without it trains on the raw distance.
+    margin_flag: bool = False
     loss: str = "margin"            # margin | sigmoid | softplus
     adv_temperature: float | None = None
     neg_ent: int = 25
@@ -155,13 +160,14 @@ class KGETrainer:
                 kwargs["adv_temperature"] = cfg.adv_temperature
             if model.higher_is_better and cfg.loss == "margin":
                 value = loss_fn(-p, -n, **kwargs)
-            elif not model.higher_is_better and cfg.loss in ("sigmoid", "softplus"):
+            elif not model.higher_is_better and cfg.margin_flag \
+                    and cfg.loss in ("sigmoid", "softplus"):
                 # Reference margin_flag semantics (TransE.py:60-89): distance
                 # models trained with sigmoid/softplus losses pass the model a
                 # margin and forward() returns margin − distance (higher is
                 # better), e.g. examples/train_transe_WN18_adv_sigmoidloss.py.
                 # predict() folds the offset back out, so ranking still sees
-                # plain distance.
+                # plain distance. Opt-in (cfg.margin_flag), as upstream.
                 value = loss_fn(cfg.margin - p, cfg.margin - n, **kwargs)
             else:
                 value = loss_fn(p, n, **kwargs)

@@ -523,7 +523,8 @@ class ZSLModule:
 
     def evaluate(self, fusion_trainer, mode: str = "test", verbose: bool = True,
                  query_chunk: int = 64, predict_unseen=None,
-                 compute_dtype: str = "float32"):
+                 compute_dtype: str = "float32", eval_path: str = "head_shared",
+                 return_ranks: bool = False):
         """Zero-shot ranking. ``predict_unseen`` (optional) routes unseen
         relation vectors through the DistillModel predictor
         (generate_rel_embed(..., rel_type='unseen'), module/utils.py:529-546
@@ -532,7 +533,10 @@ class ZSLModule:
         ``compute_dtype='bfloat16'`` runs the ranking hot path (factored
         L/R tables + SupportEncoder) in bf16 — the MXU's native dtype,
         halving the gather bytes; pair embeddings are cast back to f32
-        before cosine normalization and ranking."""
+        before cosine normalization and ranking. ``eval_path`` selects the
+        ranking body: 'head_shared' (default hot path — one head gather per
+        query) or 'factored' (per-pair gathers; the f32 reference path the
+        bench certifies against)."""
         test_candidates = loaders.load_candidates(self.data_path, mode)
 
         # precompute per-entity neighbor encodings and the factored pair
@@ -586,4 +590,5 @@ class ZSLModule:
         return evaluate_zero_shot(
             test_candidates, self.symbols.symbol2id, self.e2id, self.r2id,
             embed, gen_rel_vecs, query_chunk=query_chunk, verbose=verbose,
-            embed_query_block=embed_block)
+            embed_query_block=embed_block if eval_path == "head_shared" else None,
+            return_ranks=return_ranks)

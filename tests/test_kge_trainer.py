@@ -74,7 +74,8 @@ def test_transe_sigmoid_margin_flag_learns():
     test = table.triples[idx[-20:]]
     train_table = TripleTable.build(train, table.n_entities, table.n_relations)
 
-    cfg = KGETrainerConfig(model="transe", dim=16, margin=4.0, norm_flag=False,
+    cfg = KGETrainerConfig(model="transe", dim=16, margin=4.0, margin_flag=True,
+                           norm_flag=False,
                            loss="sigmoid", adv_temperature=1.0, neg_ent=4,
                            batch_size=64, train_times=80, nbatches=4,
                            opt_method="adam", alpha=0.01, bern=False)
@@ -99,4 +100,35 @@ def test_transe_sigmoid_margin_flag_learns():
                     batch.neg_t, p_norm=cfg.p_norm, norm_flag=cfg.norm_flag)
     want = float(L.sigmoid_loss(cfg.margin - p, cfg.margin - n,
                                 adv_temperature=cfg.adv_temperature))
+    assert abs(got - want) < 1e-5
+
+
+def test_transe_sigmoid_without_margin_flag_uses_raw_distance():
+    """margin_flag is opt-in (reference TransE.py:24-33: margin=None →
+    margin_flag False → forward returns the raw distance). A sigmoid-loss
+    config that never set margin_flag must NOT fold cfg.margin's default
+    into the loss (advisor finding, round 3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mre_tpu.ops import losses as L
+    from mre_tpu.ops import sampling
+
+    table = make_structured_kg()
+    cfg = KGETrainerConfig(model="transe", dim=16, norm_flag=False,
+                           loss="sigmoid", neg_ent=4, batch_size=64,
+                           train_times=1, nbatches=1, opt_method="adam",
+                           alpha=0.01, bern=False)
+    assert not cfg.margin_flag
+    trainer = KGETrainer(table, cfg)
+    batch = sampling.sample_training_batch(
+        jax.random.key(0), trainer.kg, cfg.batch_size, cfg.neg_ent, cfg.bern)
+    got = float(trainer._loss_fn(trainer.params, batch))
+    model = trainer.model
+    p = model.score(trainer.params, batch.h, batch.r, batch.t,
+                    p_norm=cfg.p_norm, norm_flag=cfg.norm_flag)[:, None]
+    n = model.score(trainer.params, batch.neg_h,
+                    jnp.broadcast_to(batch.r[:, None], batch.neg_h.shape),
+                    batch.neg_t, p_norm=cfg.p_norm, norm_flag=cfg.norm_flag)
+    want = float(L.sigmoid_loss(p, n))
     assert abs(got - want) < 1e-5
