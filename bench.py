@@ -199,29 +199,43 @@ def run_device(symbols, connections, degrees, rel_vecs, heads, cands):
     # slab i, one scanned program per slab. Per-chunk staging measured
     # 383k tps through the relay tunnel (round 3): the ~50-100 ms round
     # trip per 128-query chunk swamps its ~0.6 ms of compute — round-trip
-    # COUNT, not bandwidth, is the tunnel's cost, so the overlap structure
-    # must amortize dispatches over many chunks. Production hosts with
-    # local PCIe keep the same structure at finer slab grain.
-    S = next(s for s in (4, 2, 1) if n_chunks % s == 0)
-    h_sl = np.ascontiguousarray(heads.reshape(S, n_chunks // S, chunk))
-    c_sl = np.ascontiguousarray(cands.reshape(S, n_chunks // S, chunk, C))
+    # COUNT, not bandwidth, is the tunnel's cost. The right slab count is
+    # transport-dependent (relay tunnel: 1-2; local PCIe: finer), so it is
+    # AUTOTUNED here over the divisors of the chunk count and the best
+    # measured grain is reported (round-3 regression: a fixed S=4 ran 4x
+    # slower than no overlap at all through the tunnel).
+    def overlapped_runner(S):
+        h_sl = np.ascontiguousarray(heads.reshape(S, n_chunks // S, chunk))
+        c_sl = np.ascontiguousarray(cands.reshape(S, n_chunks // S, chunk, C))
 
-    def run_overlapped():
-        bufs = [(jax.device_put(h_sl[0]), jax.device_put(c_sl[0]))]
-        outs = []
-        for i in range(S):
-            if i + 1 < S:
-                bufs.append((jax.device_put(h_sl[i + 1]),
-                             jax.device_put(c_sl[i + 1])))
-            hi, ci = bufs[i]
-            outs.append(ranks_fn(hi, ci))
-        return jax.block_until_ready(outs)
+        def run_overlapped():
+            bufs = [(jax.device_put(h_sl[0]), jax.device_put(c_sl[0]))]
+            outs = []
+            for i in range(S):
+                if i + 1 < S:
+                    bufs.append((jax.device_put(h_sl[i + 1]),
+                                 jax.device_put(c_sl[i + 1])))
+                hi, ci = bufs[i]
+                outs.append(ranks_fn(hi, ci))
+            return jax.block_until_ready(outs)
 
-    t = best_of(run_overlapped, n=2)
-    results["e2e_overlapped_tps"] = Q_DEVICE * C / t
-    results["overlap_slabs"] = S
+        return run_overlapped
+
+    slab_tps = {}
+    for S in (1, 2, 4, 8):
+        if n_chunks % S:
+            continue
+        t = best_of(overlapped_runner(S), n=2)
+        slab_tps[S] = Q_DEVICE * C / t
+        log(f"e2e overlapped S={S}: {slab_tps[S]:,.0f} triples/sec")
+    best_S = max(slab_tps, key=slab_tps.get)
+    results["e2e_overlapped_tps"] = slab_tps[best_S]
+    results["overlap_slabs"] = best_S
+    results["e2e_overlapped_by_slabs"] = {str(k): round(v, 1)
+                                          for k, v in slab_tps.items()}
     log(f"e2e: unoverlapped {results['e2e_unoverlapped_tps']:,.0f}, "
-        f"overlapped {results['e2e_overlapped_tps']:,.0f} triples/sec")
+        f"overlapped(best S={best_S}) {results['e2e_overlapped_tps']:,.0f} "
+        "triples/sec")
 
     # quality parity across dtype/path (same workload → same metrics)
     r_ref = results["f32_factored"]["ranks"]
@@ -309,13 +323,42 @@ def run_torch_baseline(symbols, connections, degrees, rel_vecs, heads, cands):
     return Q_BASELINE * C / dt
 
 
+def load_trained_cert():
+    """Trained-embedding fidelity certificate for the eval hot path
+    (experiments/zsl_learnability.py --cert_out, run on the TPU by the
+    round-4 queue). The random-workload gate below is necessary but weak
+    (near-tied random scores shuffle freely); this certificate carries the
+    metric deltas measured on TRAINED weights and gates dtype/path
+    eligibility for the headline."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "experiments", "results", "bf16_cert.json")
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
 def main():
     workload = make_workload()
     res = run_device(*workload)
     # headline = fastest path whose METRICS agree with the f32 factored
     # reference path (quality-safe). Exact per-rank equality is not
     # required: near-tied cosine scores shuffle under dtype/assoc changes;
-    # the deliverable metrics are Hits@k/MRR.
+    # the deliverable metrics are Hits@k/MRR. Additionally, a path must
+    # pass the TRAINED-embedding certificate when one exists (|d_hits10|,
+    # |d_hits5|, |d_mrr| < 5e-3 on the learnability fixture).
+    cert = load_trained_cert()
+
+    def cert_ok(key):
+        if cert is None or key == "f32_factored":
+            return True
+        c = cert.get("paths", {}).get(key)
+        if c is None:
+            return True
+        return all(abs(c.get(f"d_{m}", 0.0)) < 5e-3
+                   for m in ("hits10", "hits5", "mrr"))
+
     ref = res["f32_factored"]
     candidates = []
     for key in ("bf16_head_shared", "f32_head_shared", "bf16_factored",
@@ -323,7 +366,8 @@ def main():
         r = res[key]
         if (abs(r["hits10"] - ref["hits10"]) < 2e-3
                 and abs(r["hits5"] - ref["hits5"]) < 2e-3
-                and abs(r["mrr"] - ref["mrr"]) < 2e-3):
+                and abs(r["mrr"] - ref["mrr"]) < 2e-3
+                and cert_ok(key)):
             candidates.append((r["triples_per_sec"], key))
     tput, head_key = max(candidates)
     head = res[head_key]
@@ -355,6 +399,12 @@ def main():
         "value_unoverlapped_transfers": round(res["e2e_unoverlapped_tps"], 1),
         "value_overlapped_transfers": round(res["e2e_overlapped_tps"], 1),
         "overlap_slabs": res["overlap_slabs"],
+        "overlapped_by_slabs": res["e2e_overlapped_by_slabs"],
+        "trained_cert": (None if cert is None else {
+            k: {m: cert["paths"][k].get(m) for m in
+                ("d_hits10", "d_hits5", "d_mrr",
+                 "rank_match_vs_f32_factored")}
+            for k in cert.get("paths", {}) if k != "f32_factored"}),
         "hits10_f32_factored": round(ref["hits10"], 4),
         "mrr_f32_factored": round(ref["mrr"], 4),
         "f32_factored_tps": round(res["f32_factored"]["triples_per_sec"], 1),

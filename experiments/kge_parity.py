@@ -247,10 +247,10 @@ def main(argv=None):
     if not args.eval_only:
         t0 = time.time()
         for epoch in range(start_epoch, cfg.train_times):
-            trainer.params, trainer.opt_state, trainer._rng, epoch_loss = trainer._epoch_fn(
+            trainer.params, trainer.opt_state, trainer._rng, stats = trainer._epoch_fn(
                 trainer.params, trainer.opt_state, trainer._rng, n_steps=cfg.nbatches)
             if epoch % args.log_every == 0 or epoch == cfg.train_times - 1:
-                loss = float(epoch_loss)  # forces sync — only on log epochs
+                loss = float(stats["loss"])  # forces sync — only on log epochs
                 dt = time.time() - t0
                 done = epoch - start_epoch + 1
                 eta = dt / done * (cfg.train_times - epoch - 1)
@@ -278,6 +278,10 @@ def main(argv=None):
         # Deadline-harvest of an unfinished run: metrics are from the last
         # checkpoint (+ best-valid so far), not the full budget.
         row["partial_at_epoch"] = start_epoch
+    if not args.eval_only:
+        # sampling-fidelity counter (0 = every overflow draw got an exact
+        # tier-2 slot; see ops/sampling.py::_resolve_overflow)
+        row["overflow_truncated_last_epoch"] = int(stats["overflow_truncated"])
     if args.tag:
         row["tag"] = args.tag
     if overrides:

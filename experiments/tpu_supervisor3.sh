@@ -72,16 +72,25 @@ run_job() {  # run_job <jobfile>
   # shellcheck disable=SC1090
   . "$jobf"
   if [ -z "$RESULT" ]; then log "job $name has no RESULT; archiving"; mv "$jobf" "$Q/.done/"; return; fi
-  local tries=0
-  while [ ! -f "$RESULT" ] && [ "$tries" -lt 8 ]; do
+  # fast-fail detection (advisor finding): a job whose CMD exits quickly
+  # without producing RESULT (bad flag, missing file, import error) must not
+  # burn 8 stall cycles serializing the queue behind it — two quick failures
+  # archive it as .failed.
+  local tries=0 fastfails=0 t_launch
+  while [ ! -f "$RESULT" ] && [ "$tries" -lt 8 ] && [ "$fastfails" -lt 2 ]; do
     tries=$((tries + 1))
     log "launch $name (try $tries) -> $logf"
     touch "$logf"
+    t_launch=$(date +%s)
     CMD >> "$logf" 2>&1 &
     local pid=$!
     echo "$pid" > /tmp/q_current.pid
     babysit "$pid" "$logf" || continue
     wait "$pid" 2>/dev/null
+    if [ ! -f "$RESULT" ] && [ $(( $(date +%s) - t_launch )) -lt 120 ]; then
+      fastfails=$((fastfails + 1))
+      log "fast-fail: $name exited <120s without $RESULT (strike $fastfails/2)"
+    fi
   done
   if [ -f "$RESULT" ]; then
     log "done: $name ($RESULT)"; mv "$jobf" "$Q/.done/"

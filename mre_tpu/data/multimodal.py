@@ -193,13 +193,25 @@ class MultimodalStore:
 
         s_out = int(round(self.config.image_size * margin))
         t0 = _time.time()
-        cache = np.zeros((self.num_nodes, s_out, s_out, 3), np.uint8)
-        for i in range(self.num_nodes):
-            if self.has_image[i]:
-                img = _decode_image(self.images[i])
-                pil = Image.fromarray(img).resize((s_out, s_out), Image.BICUBIC)
-                cache[i] = np.asarray(pil, np.uint8)
+        # rows only for entities that HAVE an image (advisor finding: a
+        # num_nodes-sized cache wastes ~GBs of zeros on text-only entities);
+        # _img_cache_map maps entity id -> cache row (−1 = no image).
+        img_ids = np.flatnonzero(self.has_image)
+        gb = len(img_ids) * s_out * s_out * 3 / 1e9
+        if gb > 8.0:
+            raise MemoryError(
+                f"image cache would need {gb:.1f} GB ({len(img_ids)} images "
+                f"at {s_out}px); disable FusionConfig.image_cache or lower "
+                f"image_size for this dataset")
+        cache = np.zeros((len(img_ids), s_out, s_out, 3), np.uint8)
+        idx_of = np.full(self.num_nodes, -1, np.int64)
+        idx_of[img_ids] = np.arange(len(img_ids))
+        for row, i in enumerate(img_ids):
+            img = _decode_image(self.images[i])
+            pil = Image.fromarray(img).resize((s_out, s_out), Image.BICUBIC)
+            cache[row] = np.asarray(pil, np.uint8)
         self._img_cache = cache
+        self._img_cache_map = idx_of
         self._cache_size = s_out
         return _time.time() - t0
 
@@ -244,7 +256,8 @@ class MultimodalStore:
                 if self.has_image[i]:
                     top = int(rng.integers(0, span + 1)) if span > 0 else 0
                     left = int(rng.integers(0, span + 1)) if span > 0 else 0
-                    c = self._img_cache[i, top:top + osz, left:left + osz]
+                    c = self._img_cache[self._img_cache_map[i],
+                                        top:top + osz, left:left + osz]
                     if train and rng.random() < 0.5:
                         c = c[:, ::-1]
                     crops[k] = c

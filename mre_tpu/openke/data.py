@@ -87,9 +87,6 @@ class TrainDataLoader:
         self.neg_rel = neg_rel
         self.backend = backend
         self.p = bool(p)     # kl_prob-weighted relation corruption (importProb)
-        if self.p and backend != "native":
-            raise ValueError("p=True (kl_prob-weighted relation corruption) "
-                             "requires backend='native'")
         self._cross_flag = 0
 
         for required in ("entity2id.txt", "relation2id.txt", "train2id.txt"):
@@ -119,6 +116,7 @@ class TrainDataLoader:
             import jax
 
             from mre_tpu.data.kg import DeviceKG
+            from mre_tpu.ops import sampling as sampling_mod
 
             bench = read_benchmark(in_path)
             self.table = TripleTable.build(bench["train"], bench["n_entities"], bench["n_relations"])
@@ -127,6 +125,14 @@ class TrainDataLoader:
             self.rel_total = bench["n_relations"]
             self.train_total = self.table.n_triples
             self._key = jax.random.key(seed or 0)
+            self._prob = None
+            if self.p:
+                # on-device kl_prob-weighted relation corruption: the
+                # importProb softmax table (Reader.h:25-50) as a device array
+                kl = np.loadtxt(os.path.join(in_path, "kl_prob.txt"),
+                                dtype=np.float32).reshape(
+                    self.rel_total, self.rel_total - 1)
+                self._prob = sampling_mod.relation_prob_table(kl, p_temp)
 
         self.batch_size = batch_size or self.train_total // nbatches
         n_per = self.batch_size * (1 + neg_ent + neg_rel)
@@ -178,10 +184,17 @@ class TrainDataLoader:
             import jax.numpy as jnp
 
             self._key, sub2 = jax.random.split(self._key)
-            neg_r = np.asarray(sampling.corrupt_relations(
-                sub2, self.kg, jnp.asarray(np.asarray(nb.r)), self.neg_rel,
-                h=jnp.asarray(np.asarray(nb.h)), t=jnp.asarray(np.asarray(nb.t)),
-                filter_flag=self.filter))
+            if self.p:
+                # kl_prob-weighted filtered variant (Corrupt.h:86-134 p=true)
+                neg_r = np.asarray(sampling.corrupt_relations_prob(
+                    sub2, self.kg, jnp.asarray(np.asarray(nb.h)),
+                    jnp.asarray(np.asarray(nb.t)), jnp.asarray(np.asarray(nb.r)),
+                    self._prob, self.neg_rel))
+            else:
+                neg_r = np.asarray(sampling.corrupt_relations(
+                    sub2, self.kg, jnp.asarray(np.asarray(nb.r)), self.neg_rel,
+                    h=jnp.asarray(np.asarray(nb.h)), t=jnp.asarray(np.asarray(nb.t)),
+                    filter_flag=self.filter))
             h = np.concatenate([h] + [np.asarray(nb.h)] * self.neg_rel)
             t = np.concatenate([t] + [np.asarray(nb.t)] * self.neg_rel)
             r = np.concatenate([r] + [neg_r[:, k] for k in range(self.neg_rel)])

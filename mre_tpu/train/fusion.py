@@ -188,7 +188,7 @@ class FusionTrainer:
                 rngs={"masking": k_mask, "dropout": k_drop})
 
             h_l, t_l = edge_index[0], edge_index[1]
-            neg_h, neg_t = sampling.corrupt_within_nodes(
+            neg_h, neg_t, neg_failed = sampling.corrupt_within_nodes(
                 k_neg, kg, n_id, h_l, edge_type, t_l, cfg.neg_ent)
 
             def transe(hh, rr, tt):
@@ -221,9 +221,15 @@ class FusionTrainer:
                      + cfg.text_loss_weight * text_loss
                      + cfg.gcn_loss_weight * (struct_loss if cfg.regul_in_loss else gcn_loss)
                      + cfg.contrastive_loss_weight * out["contrastive_loss"])
+            # fraction of REAL edges whose rejection sampling exhausted all
+            # rounds (those negatives silently equal the positive — must be
+            # observable, round-3 verdict; ~0 at reference sparsity)
+            neg_fail_frac = (jnp.sum(neg_failed * w[:, None])
+                             / jnp.maximum(jnp.sum(w) * cfg.neg_ent, 1.0))
             info = dict(loss=total, gcn_loss=gcn_loss, struct_loss=struct_loss,
                         image_loss=image_loss, text_loss=text_loss,
-                        contrastive_loss=out["contrastive_loss"], text_accuracy=text_acc)
+                        contrastive_loss=out["contrastive_loss"], text_accuracy=text_acc,
+                        neg_fail_frac=neg_fail_frac)
             return total, (info, new_vars["spectral"])
 
         @functools.partial(jax.jit, donate_argnums=(0, 1, 2))

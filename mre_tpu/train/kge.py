@@ -186,23 +186,29 @@ class KGETrainer:
             value, grads = jax.value_and_grad(loss)(params, batch)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return (params, opt_state), value
+            return (params, opt_state), (value, batch.overflow_truncated)
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, rng):
             rng, sub = jax.random.split(rng)
-            (params, opt_state), value = one_step((params, opt_state), sub)
-            return params, opt_state, rng, value
+            (params, opt_state), (value, trunc) = one_step((params, opt_state), sub)
+            return params, opt_state, rng, {"loss": value,
+                                            "overflow_truncated": trunc}
 
         # Whole-epoch program: lax.scan over nbatches sampled steps — one
         # device dispatch per epoch instead of per step (the per-step host
-        # round-trip dominates on remote-attached TPUs).
+        # round-trip dominates on remote-attached TPUs). The epoch stats
+        # carry the summed loss AND the overflow-truncation counter
+        # (ops/sampling.py _resolve_overflow: a silently-approximate filter
+        # must be observable; 0 at reference sparsity).
         @functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=("n_steps",))
         def train_epoch(params, opt_state, rng, n_steps):
             rng, sub = jax.random.split(rng)
             subs = jax.random.split(sub, n_steps)
-            (params, opt_state), values = jax.lax.scan(one_step, (params, opt_state), subs)
-            return params, opt_state, rng, jnp.sum(values)
+            (params, opt_state), (values, truncs) = jax.lax.scan(
+                one_step, (params, opt_state), subs)
+            return params, opt_state, rng, {"loss": jnp.sum(values),
+                                            "overflow_truncated": jnp.sum(truncs)}
 
         # Lockstep/oracle hook: one optimizer step on a caller-provided batch
         # (experiments/distmult_lockstep.py feeds byte-identical batches to
@@ -225,12 +231,14 @@ class KGETrainer:
         roll = RollingMean(cfg.nbatches)
         last = 0.0
         for epoch in range(cfg.train_times):
-            self.params, self.opt_state, self._rng, epoch_loss = self._epoch_fn(
+            self.params, self.opt_state, self._rng, stats = self._epoch_fn(
                 self.params, self.opt_state, self._rng, n_steps=cfg.nbatches)
-            last = float(epoch_loss)
+            last = float(stats["loss"])
             roll.add(last)
             if logger and (epoch % log_every == 0 or epoch == cfg.train_times - 1):
-                logger.log({"epoch": epoch, "loss": last}, step=epoch)
+                logger.log({"epoch": epoch, "loss": last,
+                            "overflow_truncated": int(stats["overflow_truncated"])},
+                           step=epoch)
             if save_steps and checkpoint_dir and (epoch + 1) % save_steps == 0:
                 ckpt.save_checkpoint(f"{checkpoint_dir}/{cfg.model}-{epoch}.ckpt", self.params)
         return last

@@ -38,7 +38,7 @@ def test_transe_learns_structure():
         for _ in range(cfg.nbatches):
             trainer.params, trainer.opt_state, trainer._rng, v = trainer._step(
                 trainer.params, trainer.opt_state, trainer._rng)
-            loss += float(v)
+            loss += float(v["loss"])
         if first is None:
             first = loss
     assert loss < first, "training loss must decrease"

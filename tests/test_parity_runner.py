@@ -68,9 +68,9 @@ def test_checkpoint_resume_roundtrip(tmp_path):
 
     def run(trainer, n):
         for _ in range(n):
-            trainer.params, trainer.opt_state, trainer._rng, loss = trainer._epoch_fn(
+            trainer.params, trainer.opt_state, trainer._rng, stats = trainer._epoch_fn(
                 trainer.params, trainer.opt_state, trainer._rng, n_steps=cfg.nbatches)
-        return loss
+        return stats["loss"]
 
     a = KGETrainer(table, cfg)
     run(a, 2)

@@ -45,7 +45,7 @@ def test_kge_step_sharded_batch():
     params = jax.device_put(trainer.params, NamedSharding(mesh, P()))
     opt_state = jax.device_put(trainer.opt_state, NamedSharding(mesh, P()))
     out = trainer._step(params, opt_state, trainer._rng)
-    assert np.isfinite(float(out[-1]))
+    assert np.isfinite(float(out[-1]["loss"]))
 
 
 def test_fusion_trainer_with_mesh():
