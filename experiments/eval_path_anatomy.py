@@ -137,6 +137,12 @@ def main(argv=None):
                                   method=extractor.embed_pairs_head_shared)
             return jnp.sum(out.astype(jnp.float32))
 
+        def full_rs(hd, cd):
+            # relation-shared: one candidate list for the whole chunk
+            out = extractor.apply({"params": pd}, Ld, Rd, hd, cd[0],
+                                  method=extractor.embed_pairs_rel_shared)
+            return jnp.sum(out.astype(jnp.float32))
+
         def pure_gather(hd, cd):
             return jnp.sum(Ld[cd.reshape(-1)].astype(jnp.float32))
 
@@ -146,7 +152,8 @@ def main(argv=None):
                 ("gather_head_shared", g_hs, chunk + chunk * C),
                 ("mxu_encoder", mxu, 0),
                 ("full_factored", full_fact, 2 * chunk * C),
-                ("full_head_shared", full_hs, chunk + chunk * C)):
+                ("full_head_shared", full_hs, chunk + chunk * C),
+                ("full_rel_shared", full_rs, chunk + C)):
             s = timed(fn)
             triples = chunk * C
             comp[name] = {

@@ -199,6 +199,27 @@ def main(argv=None):
                 overrides[k] = type(cur)(v)
         cfg = dataclasses.replace(cfg, **overrides)
     print(f"[parity] {args.recipe}: {cfg}", flush=True)
+
+    # Heartbeat: the first whole-epoch / eval compile through the
+    # remote-compile tunnel can exceed the supervisor's 15-min stall window
+    # (observed on the transr relaunch, round 4) — print liveness through
+    # compile phases, but STOP once epochs flow so a silent log during
+    # training still means a wedged tunnel.
+    import threading
+
+    def start_heartbeat(label):
+        stop = threading.Event()
+
+        def _beat():
+            n = 0
+            while not stop.wait(240):
+                n += 1
+                print(f"[parity] heartbeat {n * 4}m ({label})", flush=True)
+
+        threading.Thread(target=_beat, daemon=True).start()
+        return stop
+
+    hb_stop = start_heartbeat("building/compiling")
     trainer = KGETrainer(train_table, cfg)
 
     # TransR recipe: 1-epoch TransE pretrain, transfer embeddings
@@ -233,8 +254,10 @@ def main(argv=None):
     def eval_valid(epoch):
         import jax
         from mre_tpu.core import checkpoint as ckpt
+        hb = start_heartbeat("valid eval")
         res = trainer.link_prediction(bench["valid"], filter_table=full_table,
                                       chunk=args.eval_chunk)
+        hb.set()
         h10 = float(res["filter"].hits10)
         print(f"[parity] {args.recipe} epoch {epoch} valid filter hits10 {h10:.4f}"
               f" (best {best['valid_filter_hits10']:.4f} @{best['epoch']})", flush=True)
@@ -249,6 +272,9 @@ def main(argv=None):
         for epoch in range(start_epoch, cfg.train_times):
             trainer.params, trainer.opt_state, trainer._rng, stats = trainer._epoch_fn(
                 trainer.params, trainer.opt_state, trainer._rng, n_steps=cfg.nbatches)
+            # epochs flowing → normal log cadence takes over; a silent log
+            # must again mean a wedged tunnel (stall detection stays armed)
+            hb_stop.set()
             if epoch % args.log_every == 0 or epoch == cfg.train_times - 1:
                 loss = float(stats["loss"])  # forces sync — only on log epochs
                 dt = time.time() - t0
@@ -262,6 +288,7 @@ def main(argv=None):
                 save_state(ckpt_path, trainer, epoch + 1)
         save_state(ckpt_path, trainer, cfg.train_times)
 
+    hb_stop = start_heartbeat("evaluating")  # eval compile can also be long
     t0 = time.time()
     res = trainer.link_prediction(bench["test"], filter_table=full_table,
                                   chunk=args.eval_chunk)

@@ -151,7 +151,8 @@ def main(argv=None):
     print(f"[real_zs] materialized {dst}: {stats}", flush=True)
 
     from mre_tpu.cli.args import read_options
-    from mre_tpu.cli.main import evaluate_entry
+    from mre_tpu.cli.main import build_pipeline, run_zsl_round
+    from mre_tpu.core.metrics import MetricLogger
 
     cli = read_options([
         "--evaluate", "--dataset", dataset, "--data_root", args.work_root,
@@ -167,10 +168,39 @@ def main(argv=None):
         "--D_batch_size", "32", "--G_batch_size", "32",
         "--output_dir", "/tmp/real_zs_runs",
     ])
+    # evaluate_entry cadence, but keeping the zsl module so the production
+    # ranking step can be timed per eval path on the full real workload
+    logger = MetricLogger(output_dir=cli.output_dir)
     t0 = time.time()
-    result = evaluate_entry(cli)
+    data, store, table, fusion, zsl = build_pipeline(cli)
+    result = run_zsl_round(cli, fusion, zsl, logger, dump_embeddings=True)
     wall = time.time() - t0
+    print(f"[real_zs] pipeline (train+rank) wall {wall:.1f}s", flush=True)
+
+    # production ranking step, timed per (path, dtype): n_triples = every
+    # real query x its own candidate list
+    from mre_tpu.data import loaders as _loaders
+    tc = _loaders.load_candidates(os.path.join(args.work_root, dataset), "test")
+    n_triples = sum(len(c) for q in tc.values() for c in q.values())
+    rank_runs = {}
+    for path, dtype in (("head_shared", "float32"), ("head_shared", "bfloat16"),
+                        ("rel_shared", "float32"), ("rel_shared", "bfloat16")):
+        t1 = time.time()
+        r = zsl.evaluate(fusion, mode="test", verbose=False,
+                         compute_dtype=dtype, eval_path=path)
+        dt = time.time() - t1
+        key = f"{path}_{dtype[:4]}"
+        rank_runs[key] = dict(
+            wall_seconds=round(dt, 2),
+            triples_per_sec=round(n_triples / dt, 1),
+            hits10=round(r["hits10"], 4), hits5=round(r["hits5"], 4),
+            mrr=round(r["mrr"], 4), n=r["n"])
+        print(f"[real_zs] rank[{key}]: {dt:.2f}s = "
+              f"{n_triples / dt:,.0f} triples/s (hits10 {r['hits10']:.4f})",
+              flush=True)
+
     row = dict(dataset=dataset, stats=stats, wall_seconds=round(wall, 1),
+               n_ranked_triples=n_triples, rank_runs=rank_runs,
                settings=dict(epochs=args.epochs,
                              pretrain_times=args.pretrain_times,
                              train_times=args.train_times,

@@ -104,7 +104,9 @@ def main(argv=None):
         import json
         import time as _t
         combos = [("float32", "factored"), ("float32", "head_shared"),
-                  ("bfloat16", "factored"), ("bfloat16", "head_shared")]
+                  ("float32", "rel_shared"),
+                  ("bfloat16", "factored"), ("bfloat16", "head_shared"),
+                  ("bfloat16", "rel_shared")]
         cert = {"n_queries": result["n"], "n_candidates": n_cands,
                 "trained": {"epochs": args.epochs,
                             "train_times": args.train_times,
@@ -124,7 +126,7 @@ def main(argv=None):
             print(f"cert[{key}]: hits10 {r['hits10']:.4f} hits5 {r['hits5']:.4f} "
                   f"mrr {r['mrr']:.4f} ({r['seconds']}s)", flush=True)
         ref = cert["paths"]["f32_factored"]
-        for key in ("f32_head_shared", "bf16_factored", "bf16_head_shared"):
+        for key in [k for k in cert["paths"] if k != "f32_factored"]:
             c = cert["paths"][key]
             c["rank_match_vs_f32_factored"] = float(
                 np.mean(ranks[key] == ranks["f32_factored"]))

@@ -118,6 +118,145 @@ def _rank_stream_block(embed_query_block: Callable, heads, right, mask, vbar,
     return np.asarray(run(heads, right, mask, vbar))
 
 
+def _rank_stream_rel_shared(embed_rel_block: Callable, embed_true: Callable,
+                            heads, trues, shared, mask, vbar,
+                            chunk: int, c_max: int):
+    """Relation-shared variant of ``_rank_stream_block``.
+
+    Each scan chunk holds queries of ONE relation plus that relation's
+    SHARED candidate row (``shared`` [nc, c_max]): the candidate-side gather
+    and first SupportEncoder matmul are computed once per chunk instead of
+    once per query (reference structure: every query of a relation ranks
+    the same rel2candidates list, utils/gen_mode_candidates.py). The true
+    tail is scored separately through the factored path (1 extra row per
+    query); ``mask`` marks which shared entries belong to each query's own
+    candidate list (per-query e1rel_e2 exclusions), so ranks are exactly
+    those of the per-query path, pessimistic ties included.
+    """
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run(heads, trues, shared, mask, vbar):
+        def step(_, x):
+            hd, tr, sh, m, v = x
+            emb = embed_rel_block(hd, sh)                    # [chunk, C, D]
+            emb = emb / jnp.maximum(
+                jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+            te = embed_true(hd, tr)                          # [chunk, D]
+            te = te / jnp.maximum(
+                jnp.linalg.norm(te, axis=-1, keepdims=True), 1e-12)
+            scores = jnp.einsum("qcd,qd->qc", emb, v,
+                                preferred_element_type=jnp.float32)
+            true_s = jnp.einsum("qd,qd->q", te, v,
+                                preferred_element_type=jnp.float32)
+            return None, jnp.sum(
+                jnp.logical_and(scores >= true_s[:, None], m), 1) + 1
+
+        _, ranks = jax.lax.scan(step, None, (heads, trues, shared, mask, vbar))
+        return ranks.reshape(-1)
+
+    return np.asarray(run(heads, trues, shared, mask, vbar))
+
+
+def evaluate_zero_shot_rel_shared(test_candidates: dict, e2id: dict,
+                                  embed_rel_block: Callable,
+                                  embed_true: Callable,
+                                  generate_relation_vecs: Callable,
+                                  query_chunk: int = 64, verbose: bool = True,
+                                  return_ranks: bool = False) -> dict:
+    """Zero-shot ranking via the relation-shared hot path.
+
+    Host side reconstructs each relation's shared candidate list (first-seen
+    union of its queries' lists — by construction, gen_mode_candidates.py,
+    each per-query list is the relation's rel2candidates minus a small
+    exclusion) and a per-query membership mask; device side is one scanned
+    jit where each chunk carries one relation's shared row. Ranks are
+    IDENTICAL to ``evaluate_zero_shot`` (tested); the win is gather rows:
+    Q + C per chunk instead of Q·C.
+    """
+    rel_order = list(test_candidates.keys())
+    shared_idx: dict = {}
+    c_max = 1
+    for rel in rel_order:
+        seen: dict = {}
+        for cands in test_candidates[rel].values():
+            for c in cands[1:]:
+                if c not in seen:
+                    seen[c] = len(seen)
+        shared_idx[rel] = seen
+        c_max = max(c_max, len(seen))
+
+    heads_l, trues_l, mask_l, vbar_l = [], [], [], []
+    shared_rows = []
+    counts, pads = [], []
+    D = None
+    for rel in rel_order:
+        seen = shared_idx[rel]
+        row = np.zeros(c_max, np.int32)
+        if seen:
+            row[:len(seen)] = [e2id[c] for c in seen]
+        rv = np.asarray(generate_relation_vecs(rel), np.float32)
+        rv = rv / np.maximum(np.linalg.norm(rv, axis=-1, keepdims=True), 1e-12)
+        vbar = rv.mean(0)
+        D = vbar.shape[0]
+        queries = test_candidates[rel]
+        counts.append(len(queries))
+        for key, cands in queries.items():
+            head, _, _ = key.split("\t")
+            m = np.zeros(c_max, bool)
+            if len(cands) > 1:
+                m[[seen[c] for c in cands[1:]]] = True
+            heads_l.append(e2id[head])
+            trues_l.append(e2id[cands[0]])
+            mask_l.append(m)
+            vbar_l.append(vbar)
+        pad = (-len(queries)) % query_chunk
+        pads.append(pad)
+        for _ in range(pad):
+            heads_l.append(0)
+            trues_l.append(0)
+            mask_l.append(np.zeros(c_max, bool))
+            vbar_l.append(np.zeros(D, np.float32))
+        shared_rows += [row] * ((len(queries) + pad) // query_chunk)
+
+    n_q = sum(counts)
+    if n_q == 0:
+        overall = dict(hits10=0.0, hits5=0.0, hits1=0.0, mrr=0.0, n=0)
+        overall["per_relation"] = {}
+        return overall
+
+    nc = len(shared_rows)
+    ranks = _rank_stream_rel_shared(
+        embed_rel_block, embed_true,
+        jnp.asarray(np.asarray(heads_l, np.int32).reshape(nc, query_chunk)),
+        jnp.asarray(np.asarray(trues_l, np.int32).reshape(nc, query_chunk)),
+        jnp.asarray(np.stack(shared_rows)),
+        jnp.asarray(np.stack(mask_l).reshape(nc, query_chunk, c_max)),
+        jnp.asarray(np.stack(vbar_l).reshape(nc, query_chunk, D)),
+        query_chunk, c_max)
+
+    per_relation = {}
+    real_ranks = []
+    off = 0
+    for rel, cnt, pad in zip(rel_order, counts, pads):
+        r = ranks[off:off + cnt]
+        real_ranks.append(r)
+        per_relation[rel] = metrics_from_ranks(r)
+        off += cnt + pad
+        if verbose:
+            m = per_relation[rel]
+            print(f"{rel} Hits10:{m['hits10']:.3f}, Hits5:{m['hits5']:.3f}, "
+                  f"Hits1:{m['hits1']:.3f} MRR:{m['mrr']:.3f}")
+    real_ranks = np.concatenate(real_ranks)
+    overall = metrics_from_ranks(real_ranks)
+    if return_ranks:
+        overall["ranks"] = np.asarray(real_ranks, np.int64)
+    if verbose:
+        print(f"OVERALL HITS10: {overall['hits10']:.3f}  HITS5: {overall['hits5']:.3f}  "
+              f"HITS1: {overall['hits1']:.3f}  MRR: {overall['mrr']:.3f}")
+    overall["per_relation"] = per_relation
+    return overall
+
+
 def evaluate_zero_shot(test_candidates: dict, symbol2id: dict, e2id: dict,
                        rel2id: dict, embed_query_pairs: Callable,
                        generate_relation_vecs: Callable,

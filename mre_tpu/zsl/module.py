@@ -30,7 +30,8 @@ import optax
 
 from mre_tpu.data import loaders
 from mre_tpu.models.extractor import Discriminator, Extractor
-from mre_tpu.eval.zero_shot import evaluate_zero_shot
+from mre_tpu.eval.zero_shot import (evaluate_zero_shot,
+                                    evaluate_zero_shot_rel_shared)
 from mre_tpu.zsl.episodes import EpisodeSampler, SymbolTable, build_connections
 
 G_PARAM_KEYS = ("generate_fc_layer", "des_rel_map_layer1",
@@ -534,9 +535,11 @@ class ZSLModule:
         L/R tables + SupportEncoder) in bf16 — the MXU's native dtype,
         halving the gather bytes; pair embeddings are cast back to f32
         before cosine normalization and ranking. ``eval_path`` selects the
-        ranking body: 'head_shared' (default hot path — one head gather per
-        query) or 'factored' (per-pair gathers; the f32 reference path the
-        bench certifies against)."""
+        ranking body: 'rel_shared' (fastest — the candidate gather + first
+        SupportEncoder matmul amortize over each relation's shared
+        rel2candidates list), 'head_shared' (one head gather per query), or
+        'factored' (per-pair gathers; the f32 reference path the bench
+        certifies against)."""
         test_candidates = loaders.load_candidates(self.data_path, mode)
 
         # precompute per-entity neighbor encodings and the factored pair
@@ -586,6 +589,24 @@ class ZSLModule:
                 rel_ids = np.full(self.cfg.test_sample, rel_id)
                 return self._generate(fusion_trainer, fusion_trainer.params,
                                       rel_ids, self.test_noises)
+
+        if eval_path == "rel_shared":
+            def embed_rel_block(heads, shared):
+                emb = self.extractor.apply(
+                    {"params": ex_params_eval}, L, R, heads, shared,
+                    method=self.extractor.embed_pairs_rel_shared)
+                return emb.astype(jnp.float32)
+
+            def embed_true(heads, trues):
+                emb = self.extractor.apply(
+                    {"params": ex_params_eval}, L, R, heads, trues,
+                    method=self.extractor.embed_pairs_factored)
+                return emb.astype(jnp.float32)
+
+            return evaluate_zero_shot_rel_shared(
+                test_candidates, self.e2id, embed_rel_block, embed_true,
+                gen_rel_vecs, query_chunk=query_chunk, verbose=verbose,
+                return_ranks=return_ranks)
 
         return evaluate_zero_shot(
             test_candidates, self.symbols.symbol2id, self.e2id, self.r2id,

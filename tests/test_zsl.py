@@ -227,3 +227,53 @@ def test_head_shared_pair_embedding_matches_factored():
                    method=ex.embed_pairs_head_shared)
     np.testing.assert_allclose(np.asarray(blk), np.asarray(flat),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_rel_shared_pair_embedding_matches_head_shared():
+    """embed_pairs_rel_shared (one SHARED candidate list per block) must
+    equal embed_pairs_head_shared on the broadcast candidate matrix."""
+    import jax
+    import jax.numpy as jnp
+
+    from mre_tpu.models.extractor import Extractor
+
+    D, NS, NE, K, Q, C = 64, 120, 90, 8, 12, 17
+    rng = np.random.default_rng(2)
+    symbols = jnp.asarray(rng.normal(size=(NS + 1, D)).astype(np.float32))
+    conns = jnp.asarray(rng.integers(0, NS, (NE, K, 2)).astype(np.int32))
+    degs = jnp.asarray(rng.integers(1, K, NE).astype(np.float32))
+    ex = Extractor(embed_dim=D)
+    dummy = jnp.asarray(rng.integers(30, NS, (2, 2)).astype(np.int32))
+    meta0 = (conns[:2], degs[:2], conns[:2], degs[:2])
+    params = ex.init({"params": jax.random.key(0)}, symbols, dummy, dummy,
+                     meta0, meta0, True)["params"]
+    nbr = ex.apply({"params": params}, symbols, conns, degs,
+                   method=ex.encode_neighbors)
+    ent_sym = jnp.asarray((30 + np.arange(NE)).astype(np.int32))
+    L, R = ex.apply({"params": params}, symbols, nbr, ent_sym,
+                    method=ex.precompute_pair_tables)
+    heads = jnp.asarray(rng.integers(0, NE, Q).astype(np.int32))
+    shared = jnp.asarray(rng.integers(0, NE, C).astype(np.int32))
+    blk = ex.apply({"params": params}, L, R, heads,
+                   jnp.broadcast_to(shared[None, :], (Q, C)),
+                   method=ex.embed_pairs_head_shared)
+    rel = ex.apply({"params": params}, L, R, heads, shared,
+                   method=ex.embed_pairs_rel_shared)
+    np.testing.assert_allclose(np.asarray(rel), np.asarray(blk),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_rel_shared_evaluator_matches_per_query(setup):
+    """The relation-shared evaluator must produce the SAME metrics (and
+    ranks) as the per-query evaluator — it is a restructuring of the same
+    computation over the shared rel2candidates structure, not a semantic
+    change."""
+    _, data, fusion, zsl = setup
+    a = zsl.evaluate(fusion, mode="test", verbose=False, query_chunk=8,
+                     eval_path="head_shared", return_ranks=True)
+    b = zsl.evaluate(fusion, mode="test", verbose=False, query_chunk=8,
+                     eval_path="rel_shared", return_ranks=True)
+    assert a["n"] == b["n"]
+    np.testing.assert_array_equal(np.sort(a["ranks"]), np.sort(b["ranks"]))
+    for m in ("hits10", "hits5", "hits1", "mrr"):
+        np.testing.assert_allclose(a[m], b[m], atol=1e-9)
