@@ -19,6 +19,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: the suite's wall clock on this class of
+# single-core host is compile-dominated (round-3 verdict: 46 min); caching
+# compiled executables across runs keeps the keep-green discipline cheap.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("MRE_TEST_COMPILE_CACHE",
+                                 os.path.expanduser("~/.cache/mre_tpu_test_xla")))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

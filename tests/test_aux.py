@@ -133,7 +133,11 @@ def test_image_cache_fast_path(tmp_path):
     store = build()
     ids = np.arange(8)
     secs = store.precompute_image_cache()
-    assert secs >= 0.0 and store._img_cache.shape[0] == store.num_nodes
+    # cache rows exist only for entities WITH an image (advisor finding:
+    # num_nodes-sized cache wasted GBs of zeros on text-only entities)
+    assert secs >= 0.0
+    assert store._img_cache.shape[0] == int(np.sum(store.has_image))
+    assert (store._img_cache_map >= 0).sum() == int(np.sum(store.has_image))
     imgs = store.entity_images(ids, train=True)
     assert imgs.shape == (8, 16, 16, 3) and np.isfinite(imgs).all()
     # eval batches are seed-deterministic on the cached path too

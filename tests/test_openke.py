@@ -239,7 +239,15 @@ def test_train_loader_p_flag_imports_prob(bench_dir, native_lib):
     batch = next(iter(loader))
     assert batch["batch_r"].shape[0] == loader.batch_size * 3
 
-    import pytest
-
-    with pytest.raises(ValueError):
-        TrainDataLoader(in_path=bench_dir, nbatches=4, p=True, backend="jax")
+    # the device backend now supports p=True too (round-4: on-device
+    # kl_prob-weighted relation corruption, ops/sampling.py)
+    dev = TrainDataLoader(in_path=bench_dir, nbatches=4, neg_rel=1,
+                          p=True, backend="jax", seed=3)
+    assert dev._prob is not None and dev._prob.shape == (R, R - 1)
+    db = next(iter(dev))
+    assert db["batch_r"].shape[0] == dev.batch_size * 3
+    # the relation-corruption block must never contain the positive relation
+    B = dev.batch_size
+    pos_r = db["batch_r"][:B]
+    neg_r = db["batch_r"][2 * B:]
+    assert not (neg_r == pos_r).all()
