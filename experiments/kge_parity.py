@@ -207,13 +207,18 @@ def main(argv=None):
     # training still means a wedged tunnel.
     import threading
 
-    def start_heartbeat(label):
+    def start_heartbeat(label, max_beats=4):
+        """Bounded liveness: beats keep the supervisor's stall detector at
+        bay through a legitimate long compile, then go SILENT — so a wedged
+        tunnel still gets stall-killed (max_beats*4 min + 15 min). An
+        unbounded heartbeat would mask wedges forever (observed: a wedged
+        transr compile sat 20+ min behind heartbeats, round 4)."""
         stop = threading.Event()
 
         def _beat():
-            n = 0
-            while not stop.wait(240):
-                n += 1
+            for n in range(1, max_beats + 1):
+                if stop.wait(240):
+                    return
                 print(f"[parity] heartbeat {n * 4}m ({label})", flush=True)
 
         threading.Thread(target=_beat, daemon=True).start()
