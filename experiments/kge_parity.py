@@ -207,12 +207,15 @@ def main(argv=None):
     # training still means a wedged tunnel.
     import threading
 
-    def start_heartbeat(label, max_beats=4):
+    def start_heartbeat(label, max_beats=10):
         """Bounded liveness: beats keep the supervisor's stall detector at
         bay through a legitimate long compile, then go SILENT — so a wedged
-        tunnel still gets stall-killed (max_beats*4 min + 15 min). An
-        unbounded heartbeat would mask wedges forever (observed: a wedged
-        transr compile sat 20+ min behind heartbeats, round 4)."""
+        tunnel still gets stall-killed (max_beats*4 min + 15 min). The cap
+        must exceed a true cold compile of the biggest epoch program: a
+        code change that invalidates the remote compile cache turns the
+        'minutes' warm compile into tens of minutes (observed: transr cold
+        compile >20 min, round 4), and a cap below that kill-loops the job
+        forever — each kill discards the unfinished compile."""
         stop = threading.Event()
 
         def _beat():
