@@ -315,7 +315,7 @@ class FusionTrainer:
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
 
-        agg: dict[str, float] = {}
+        agg = None
         n = 0
         while True:
             device_batch = q.get()
@@ -323,11 +323,14 @@ class FusionTrainer:
                 break
             self.params, self.spectral, self.opt_state, self._rng, info = self._step_fn(
                 self.params, self.spectral, self.opt_state, self._rng, device_batch)
-            for k, v in info.items():
-                agg[k] = agg.get(k, 0.0) + float(v)
+            # accumulate ON DEVICE: a float() per info key here would force
+            # ~7 blocking host syncs per step (~0.5-1 s through a relay
+            # tunnel) and serialize the pipeline behind the host
+            agg = info if agg is None else jax.tree_util.tree_map(
+                jnp.add, agg, info)
             n += 1
         thread.join()
-        return {k: v / max(n, 1) for k, v in agg.items()}
+        return {k: float(v) / max(n, 1) for k, v in agg.items()}
 
     # -- full-graph embedding generation (module/utils.py:479-546) --------
 

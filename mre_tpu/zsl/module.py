@@ -354,11 +354,16 @@ class ZSLModule:
             for _ in range(cfg.D_epoch):
                 batch = self._padded_gan_batch()
                 info_d = self._run_d_step(fusion_trainer, g_params, batch)
-                d_hist.append({k: float(v) for k, v in info_d.items()})
+                # one transfer for the whole info dict — per-key float()
+                # would cost a blocking round trip per metric on
+                # relay-attached chips
+                d_hist.append({k: float(v) for k, v in
+                               jax.device_get(info_d).items()})
             for _ in range(cfg.G_epoch):
                 batch = self._padded_gan_batch()
                 g_params, g_opt_state, info_g = run_g(g_params, g_opt_state, batch)
-                g_hist.append({k: float(v) for k, v in info_g.items()})
+                g_hist.append({k: float(v) for k, v in
+                               jax.device_get(info_g).items()})
             if log_every and (epoch + 1) % log_every == 0:
                 d_mean = np.mean([h["loss_D"] for h in d_hist[-log_every:]])
                 g_mean = np.mean([h["loss_G"] for h in g_hist[-log_every:]])
