@@ -277,3 +277,14 @@ def test_rel_shared_evaluator_matches_per_query(setup):
     np.testing.assert_array_equal(np.sort(a["ranks"]), np.sort(b["ranks"]))
     for m in ("hits10", "hits5", "hits1", "mrr"):
         np.testing.assert_allclose(a[m], b[m], atol=1e-9)
+
+
+def test_rel_shared_evaluator_empty_candidates():
+    """Zero evaluable queries must report zeros with n=0 (never a perfect
+    score from a misloaded dataset), matching the per-query evaluator."""
+    from mre_tpu.eval.zero_shot import evaluate_zero_shot_rel_shared
+
+    out = evaluate_zero_shot_rel_shared(
+        {}, {}, None, None, lambda rel: np.zeros((2, 8), np.float32),
+        verbose=False)
+    assert out["n"] == 0 and out["hits10"] == 0.0 and out["per_relation"] == {}
