@@ -380,11 +380,19 @@ def main():
     cert = load_trained_cert()
 
     def cert_ok(key):
-        if cert is None or key == "f32_factored":
+        if key.startswith("f32"):
+            # f32_factored IS the reference; the f32 rel/head-shared paths
+            # are algebraic restructures with ranks proven equal to it
+            # (tests/test_eval.py), so they need no trained certificate.
             return True
+        if cert is None:
+            # No trained-embedding certificate on disk: bf16 paths are NOT
+            # headline-eligible (the random-workload metric gate alone is
+            # weak evidence — see load_trained_cert).
+            return False
         c = cert.get("paths", {}).get(key)
         if c is None:
-            return True
+            return False
         return all(abs(c.get(f"d_{m}", 0.0)) < 5e-3
                    for m in ("hits10", "hits5", "mrr"))
 
