@@ -120,7 +120,8 @@ def _rank_stream_block(embed_query_block: Callable, heads, right, mask, vbar,
 
 def _rank_stream_rel_shared(embed_rel_block: Callable, embed_true: Callable,
                             heads, trues, shared, mask, vbar,
-                            chunk: int, c_max: int):
+                            chunk: int, c_max: int,
+                            mesh=None, axis_name: str = "data"):
     """Relation-shared variant of ``_rank_stream_block``.
 
     Each scan chunk holds queries of ONE relation plus that relation's
@@ -132,7 +133,54 @@ def _rank_stream_rel_shared(embed_rel_block: Callable, embed_true: Callable,
     query); ``mask`` marks which shared entries belong to each query's own
     candidate list (per-query e1rel_e2 exclusions), so ranks are exactly
     those of the per-query path, pessimistic ties included.
+
+    With ``mesh``, each scan step ranks ``mesh.shape[axis_name]`` chunks
+    data-parallel across the mesh (chunks are independent; the embed is
+    vmapped over the device axis and the inputs sharded on it, so the SPMD
+    partitioner splits the work with no collectives — the tables inside
+    ``embed_rel_block`` stay replicated). The caller pads the chunk count
+    to a multiple of the axis size.
     """
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        ndev = mesh.shape[axis_name]
+        nc = heads.shape[0]
+        if nc % ndev:
+            raise ValueError(f"chunk count {nc} not a multiple of mesh "
+                             f"axis {axis_name}={ndev}; caller must pad")
+        nsteps = nc // ndev
+        spec = NamedSharding(mesh, P(None, axis_name))
+
+        def resh(a):
+            return jax.device_put(
+                jnp.reshape(a, (nsteps, ndev) + a.shape[1:]), spec)
+
+        heads, trues, shared, mask, vbar = map(
+            resh, (heads, trues, shared, mask, vbar))
+
+        @functools.partial(jax.jit, static_argnames=())
+        def run_sharded(heads, trues, shared, mask, vbar):
+            def step(_, x):
+                hd, tr, sh, m, v = x                     # [ndev, chunk, ...]
+                emb = jax.vmap(embed_rel_block)(hd, sh)  # [ndev, chunk, C, D]
+                emb = emb / jnp.maximum(
+                    jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+                te = jax.vmap(embed_true)(hd, tr)        # [ndev, chunk, D]
+                te = te / jnp.maximum(
+                    jnp.linalg.norm(te, axis=-1, keepdims=True), 1e-12)
+                scores = jnp.einsum("gqcd,gqd->gqc", emb, v,
+                                    preferred_element_type=jnp.float32)
+                true_s = jnp.einsum("gqd,gqd->gq", te, v,
+                                    preferred_element_type=jnp.float32)
+                return None, jnp.sum(
+                    jnp.logical_and(scores >= true_s[..., None], m), -1) + 1
+
+            _, ranks = jax.lax.scan(
+                step, None, (heads, trues, shared, mask, vbar))
+            return ranks.reshape(-1)
+
+        return np.asarray(run_sharded(heads, trues, shared, mask, vbar))
 
     @functools.partial(jax.jit, static_argnames=())
     def run(heads, trues, shared, mask, vbar):
@@ -162,7 +210,8 @@ def evaluate_zero_shot_rel_shared(test_candidates: dict, e2id: dict,
                                   embed_true: Callable,
                                   generate_relation_vecs: Callable,
                                   query_chunk: int = 64, verbose: bool = True,
-                                  return_ranks: bool = False) -> dict:
+                                  return_ranks: bool = False,
+                                  mesh=None, axis_name: str = "data") -> dict:
     """Zero-shot ranking via the relation-shared hot path.
 
     Host side reconstructs each relation's shared candidate list (first-seen
@@ -172,6 +221,11 @@ def evaluate_zero_shot_rel_shared(test_candidates: dict, e2id: dict,
     jit where each chunk carries one relation's shared row. Ranks are
     IDENTICAL to ``evaluate_zero_shot`` (tested); the win is gather rows:
     Q + C per chunk instead of Q·C.
+
+    ``mesh`` (optional ``jax.sharding.Mesh``) ranks chunks data-parallel
+    over ``axis_name`` — scale-out serving of the evaluation workload; the
+    chunk count is padded to the axis size and ranks are identical to the
+    single-device path (tests/test_sharding.py).
     """
     rel_order = list(test_candidates.keys())
     shared_idx: dict = {}
@@ -224,6 +278,18 @@ def evaluate_zero_shot_rel_shared(test_candidates: dict, e2id: dict,
         overall["per_relation"] = {}
         return overall
 
+    if mesh is not None:
+        # pad the chunk count to the mesh axis size with all-masked dummy
+        # chunks; they sit past every real (count, pad) offset below, so the
+        # per-relation slicing never reads them.
+        ndev = mesh.shape[axis_name]
+        for _ in range((-len(shared_rows)) % ndev):
+            shared_rows.append(np.zeros(c_max, np.int32))
+            heads_l += [0] * query_chunk
+            trues_l += [0] * query_chunk
+            mask_l += [np.zeros(c_max, bool)] * query_chunk
+            vbar_l += [np.zeros(D, np.float32)] * query_chunk
+
     nc = len(shared_rows)
     ranks = _rank_stream_rel_shared(
         embed_rel_block, embed_true,
@@ -232,7 +298,7 @@ def evaluate_zero_shot_rel_shared(test_candidates: dict, e2id: dict,
         jnp.asarray(np.stack(shared_rows)),
         jnp.asarray(np.stack(mask_l).reshape(nc, query_chunk, c_max)),
         jnp.asarray(np.stack(vbar_l).reshape(nc, query_chunk, D)),
-        query_chunk, c_max)
+        query_chunk, c_max, mesh=mesh, axis_name=axis_name)
 
     per_relation = {}
     real_ranks = []

@@ -530,7 +530,7 @@ class ZSLModule:
     def evaluate(self, fusion_trainer, mode: str = "test", verbose: bool = True,
                  query_chunk: int = 64, predict_unseen=None,
                  compute_dtype: str = "float32", eval_path: str = "head_shared",
-                 return_ranks: bool = False):
+                 return_ranks: bool = False, mesh=None):
         """Zero-shot ranking. ``predict_unseen`` (optional) routes unseen
         relation vectors through the DistillModel predictor
         (generate_rel_embed(..., rel_type='unseen'), module/utils.py:529-546
@@ -544,7 +544,12 @@ class ZSLModule:
         SupportEncoder matmul amortize over each relation's shared
         rel2candidates list), 'head_shared' (one head gather per query), or
         'factored' (per-pair gathers; the f32 reference path the bench
-        certifies against)."""
+        certifies against). ``mesh`` (rel_shared only) ranks the query
+        stream data-parallel over the mesh's 'data' axis — identical ranks,
+        N-chip scale-out."""
+        if mesh is not None and eval_path != "rel_shared":
+            raise ValueError("mesh-sharded evaluation is supported for "
+                             "eval_path='rel_shared' only")
         test_candidates = loaders.load_candidates(self.data_path, mode)
 
         # precompute per-entity neighbor encodings and the factored pair
@@ -611,7 +616,7 @@ class ZSLModule:
             return evaluate_zero_shot_rel_shared(
                 test_candidates, self.e2id, embed_rel_block, embed_true,
                 gen_rel_vecs, query_chunk=query_chunk, verbose=verbose,
-                return_ranks=return_ranks)
+                return_ranks=return_ranks, mesh=mesh)
 
         return evaluate_zero_shot(
             test_candidates, self.symbols.symbol2id, self.e2id, self.r2id,

@@ -72,3 +72,52 @@ def test_fusion_ffn_tensor_parallel_matches_replicated():
     emb_tp = np.asarray(trainer.generate_ent_embeddings(batch_size=8, mesh=mesh))
     emb_1d = np.asarray(trainer.generate_ent_embeddings(batch_size=8))
     np.testing.assert_allclose(emb_tp, emb_1d, rtol=2e-4, atol=2e-5)
+
+
+def test_rel_shared_eval_sharded_matches_single():
+    """Mesh-sharded rel_shared candidate ranking (chunks data-parallel over
+    the 8-device mesh) must produce ranks identical to the single-device
+    scan, including with a chunk count that needs padding to the axis."""
+    from mre_tpu.eval.zero_shot import evaluate_zero_shot_rel_shared
+    from mre_tpu.parallel import mesh as pmesh
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    n_ent, D = 40, 8
+    T = jnp.asarray(rng.randn(n_ent, D).astype(np.float32))
+
+    def embed_rel_block(heads, shared):
+        return T[heads][:, None, :] + 2.0 * T[shared][None, :, :]
+
+    def embed_true(heads, trues):
+        return T[heads] + 2.0 * T[trues]
+
+    names = [f"e{i}" for i in range(n_ent)]
+    e2id = {n: i for i, n in enumerate(names)}
+    test_candidates = {}
+    for r in range(3):
+        rel = f"rel{r}"
+        pool = rng.choice(n_ent, size=12, replace=False)
+        queries = {}
+        for k in range(5 + r):
+            head = names[(3 * k + r) % n_ent]
+            true = names[(5 * k + 2 * r + 1) % n_ent]
+            negs = [names[i] for i in pool[rng.rand(len(pool)) < 0.8]]
+            queries[f"{head}\t{rel}\t{true}"] = [true] + negs
+        test_candidates[rel] = queries
+
+    def gen_rel_vecs(rel):
+        rs = np.random.RandomState(100 + int(rel[3:]))
+        return rs.randn(4, D).astype(np.float32)
+
+    kw = dict(query_chunk=4, verbose=False, return_ranks=True)
+    ref = evaluate_zero_shot_rel_shared(
+        test_candidates, e2id, embed_rel_block, embed_true, gen_rel_vecs, **kw)
+    mesh = pmesh.make_mesh(n_data=8)
+    out = evaluate_zero_shot_rel_shared(
+        test_candidates, e2id, embed_rel_block, embed_true, gen_rel_vecs,
+        mesh=mesh, **kw)
+    np.testing.assert_array_equal(out["ranks"], ref["ranks"])
+    assert out["n"] == ref["n"] > 0
+    for m in ("hits10", "hits5", "hits1", "mrr"):
+        assert out[m] == ref[m]
