@@ -276,6 +276,10 @@ def main(argv=None):
                 json.dump(best, f)
 
     if not args.eval_only:
+        # stats stays bound even when a resume lands exactly at train_times
+        # (zero loop iterations) — e.g. a relaunch after a stall-kill during
+        # the final test eval; the counter is then simply "no new epochs".
+        stats = {"overflow_truncated": -1}
         t0 = time.time()
         for epoch in range(start_epoch, cfg.train_times):
             trainer.params, trainer.opt_state, trainer._rng, stats = trainer._epoch_fn(
@@ -316,6 +320,7 @@ def main(argv=None):
     if not args.eval_only:
         # sampling-fidelity counter (0 = every overflow draw got an exact
         # tier-2 slot; see ops/sampling.py::_resolve_overflow)
+        # -1 = no epoch ran in THIS process (resume landed at train_times)
         row["overflow_truncated_last_epoch"] = int(stats["overflow_truncated"])
     if args.tag:
         row["tag"] = args.tag

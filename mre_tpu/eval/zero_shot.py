@@ -130,9 +130,10 @@ def _rank_stream_rel_shared(embed_rel_block: Callable, embed_true: Callable,
     once per query (reference structure: every query of a relation ranks
     the same rel2candidates list, utils/gen_mode_candidates.py). The true
     tail is scored separately through the factored path (1 extra row per
-    query); ``mask`` marks which shared entries belong to each query's own
-    candidate list (per-query e1rel_e2 exclusions), so ranks are exactly
-    those of the per-query path, pessimistic ties included.
+    query); ``mask`` holds each query's PER-OCCURRENCE candidate counts
+    over the shared row (per-query e1rel_e2 exclusions → 0; duplicated
+    entities in a list → their multiplicity), so ranks are exactly those of
+    the per-query path, pessimistic ties and duplicates included.
 
     With ``mesh``, each scan step ranks ``mesh.shape[axis_name]`` chunks
     data-parallel across the mesh (chunks are independent; the embed is
@@ -174,7 +175,7 @@ def _rank_stream_rel_shared(embed_rel_block: Callable, embed_true: Callable,
                 true_s = jnp.einsum("gqd,gqd->gq", te, v,
                                     preferred_element_type=jnp.float32)
                 return None, jnp.sum(
-                    jnp.logical_and(scores >= true_s[..., None], m), -1) + 1
+                    jnp.where(scores >= true_s[..., None], m, 0), -1) + 1
 
             _, ranks = jax.lax.scan(
                 step, None, (heads, trues, shared, mask, vbar))
@@ -197,7 +198,7 @@ def _rank_stream_rel_shared(embed_rel_block: Callable, embed_true: Callable,
             true_s = jnp.einsum("qd,qd->q", te, v,
                                 preferred_element_type=jnp.float32)
             return None, jnp.sum(
-                jnp.logical_and(scores >= true_s[:, None], m), 1) + 1
+                jnp.where(scores >= true_s[:, None], m, 0), 1) + 1
 
         _, ranks = jax.lax.scan(step, None, (heads, trues, shared, mask, vbar))
         return ranks.reshape(-1)
@@ -256,9 +257,13 @@ def evaluate_zero_shot_rel_shared(test_candidates: dict, e2id: dict,
         counts.append(len(queries))
         for key, cands in queries.items():
             head, _, _ = key.split("\t")
-            m = np.zeros(c_max, bool)
-            if len(cands) > 1:
-                m[[seen[c] for c in cands[1:]]] = True
+            # multiplicity counts, not membership bits: a duplicate entity in
+            # a candidate list is scored (and counted against the rank) once
+            # per occurrence by the per-query evaluator — the shared-list
+            # path must weight it identically.
+            m = np.zeros(c_max, np.int32)
+            for c in cands[1:]:
+                m[seen[c]] += 1
             heads_l.append(e2id[head])
             trues_l.append(e2id[cands[0]])
             mask_l.append(m)
@@ -268,7 +273,7 @@ def evaluate_zero_shot_rel_shared(test_candidates: dict, e2id: dict,
         for _ in range(pad):
             heads_l.append(0)
             trues_l.append(0)
-            mask_l.append(np.zeros(c_max, bool))
+            mask_l.append(np.zeros(c_max, np.int32))
             vbar_l.append(np.zeros(D, np.float32))
         shared_rows += [row] * ((len(queries) + pad) // query_chunk)
 
@@ -276,6 +281,8 @@ def evaluate_zero_shot_rel_shared(test_candidates: dict, e2id: dict,
     if n_q == 0:
         overall = dict(hits10=0.0, hits5=0.0, hits1=0.0, mrr=0.0, n=0)
         overall["per_relation"] = {}
+        if return_ranks:
+            overall["ranks"] = np.zeros(0, np.int64)
         return overall
 
     if mesh is not None:
@@ -287,7 +294,7 @@ def evaluate_zero_shot_rel_shared(test_candidates: dict, e2id: dict,
             shared_rows.append(np.zeros(c_max, np.int32))
             heads_l += [0] * query_chunk
             trues_l += [0] * query_chunk
-            mask_l += [np.zeros(c_max, bool)] * query_chunk
+            mask_l += [np.zeros(c_max, np.int32)] * query_chunk
             vbar_l += [np.zeros(D, np.float32)] * query_chunk
 
     nc = len(shared_rows)
@@ -382,6 +389,8 @@ def evaluate_zero_shot(test_candidates: dict, symbol2id: dict, e2id: dict,
         # perfect score.
         overall = dict(hits10=0.0, hits5=0.0, hits1=0.0, mrr=0.0, n=0)
         overall["per_relation"] = {}
+        if return_ranks:
+            overall["ranks"] = np.zeros(0, np.int64)
         return overall
     pad_q = ((n_q + query_chunk - 1) // query_chunk) * query_chunk
     D = vbar_l[0].shape[0]

@@ -184,8 +184,12 @@ class TrainDataLoader:
             import jax.numpy as jnp
 
             self._key, sub2 = jax.random.split(self._key)
-            if self.p:
-                # kl_prob-weighted filtered variant (Corrupt.h:86-134 p=true)
+            if self.p and self.filter:
+                # kl_prob-weighted filtered variant (Corrupt.h:86-134 p=true).
+                # Mirrors the native corrupt_rel_impl exactly: with
+                # filter_flag=false the prob table is IGNORED and corruption
+                # is uniform excluding r (sampler.cpp:149-153), so p only
+                # takes effect on the filtered branch below.
                 neg_r = np.asarray(sampling.corrupt_relations_prob(
                     sub2, self.kg, jnp.asarray(np.asarray(nb.h)),
                     jnp.asarray(np.asarray(nb.t)), jnp.asarray(np.asarray(nb.r)),

@@ -296,8 +296,9 @@ def corrupt_relations(key: jax.Array, kg: DeviceKG, r: jnp.ndarray,
     exact complement draw over the by-(h, t) sorted relation index, the same
     rejection-free index-shift used for entities. Otherwise the unfiltered
     branch (Corrupt.h:86-94): uniform excluding only the positive r.
-    (The probability-weighted kl_prob variant lives in the native sampler;
-    it needs a host-side prob table.)"""
+    (The probability-weighted kl_prob variant is
+    :func:`corrupt_relations_prob`; like the native sampler it only applies
+    to the filtered branch.)"""
     B = r.shape[0]
     if h is None or t is None or not filter_flag or kg.pair_keys is None:
         if filter_flag and h is not None and t is not None and kg.pair_keys is None:
@@ -333,7 +334,8 @@ def corrupt_relations(key: jax.Array, kg: DeviceKG, r: jnp.ndarray,
 
 def corrupt_within_nodes(key: jax.Array, kg: DeviceKG, n_id: jnp.ndarray,
                          h_local: jnp.ndarray, r: jnp.ndarray, t_local: jnp.ndarray,
-                         n_neg: int, rounds: int = REJECTION_ROUNDS) -> tuple[jnp.ndarray, jnp.ndarray]:
+                         n_neg: int, rounds: int = REJECTION_ROUNDS
+                         ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Subgraph-local corruption for the fusion trainer.
 
     Mirrors module/NegativeSampling.py:321-375: negatives are drawn from the
@@ -440,4 +442,12 @@ def corrupt_relations_prob(key: jax.Array, kg: DeviceKG, h: jnp.ndarray,
     u = jax.random.uniform(key, (B, n_neg)) * total
     sample = jnp.sum(cdf[:, None, :] <= u[:, :, None], axis=-1).astype(jnp.int32)
     sample = jnp.minimum(sample, R - 1)
+    # float rounding can push u up to exactly `total` (~2^-24 per draw):
+    # every cdf entry then counts and the clamp lands on column R-1, which
+    # may be a zero-weight (true or positive) relation. Remap any draw that
+    # landed on zero weight to the LAST positive-weight relation — the draw
+    # stays in the exact complement.
+    last_valid = (R - 1 - jnp.argmax((w > 0.0)[:, ::-1], axis=-1)).astype(jnp.int32)
+    w_at = jnp.take_along_axis(w, sample, axis=1)
+    sample = jnp.where(w_at > 0.0, sample, last_valid[:, None])
     return jnp.where((total <= 0.0) | ((k >= R)[:, None]), r[:, None], sample)

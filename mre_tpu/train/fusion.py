@@ -330,7 +330,9 @@ class FusionTrainer:
                 jnp.add, agg, info)
             n += 1
         thread.join()
-        return {k: float(v) / max(n, 1) for k, v in agg.items()}
+        if agg is None:  # zero-batch epoch (exhausted/degenerate sampler)
+            return {}
+        return {k: float(v) / n for k, v in agg.items()}
 
     # -- full-graph embedding generation (module/utils.py:479-546) --------
 

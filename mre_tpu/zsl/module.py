@@ -349,29 +349,32 @@ class ZSLModule:
 
         run_g, g_params, g_opt_state = self._make_g_step(fusion_trainer)
 
+        # histories stay DEVICE-resident inside the loop: even one
+        # device_get per step blocks the host until that step finishes,
+        # serializing dispatch behind a relay round trip (the same pattern
+        # fusion.train_epoch avoids by accumulating on device). Transfers
+        # happen once per log window and once at the end.
         d_hist, g_hist = [], []
         for epoch in range(train_times):
             for _ in range(cfg.D_epoch):
                 batch = self._padded_gan_batch()
-                info_d = self._run_d_step(fusion_trainer, g_params, batch)
-                # one transfer for the whole info dict — per-key float()
-                # would cost a blocking round trip per metric on
-                # relay-attached chips
-                d_hist.append({k: float(v) for k, v in
-                               jax.device_get(info_d).items()})
+                d_hist.append(self._run_d_step(fusion_trainer, g_params, batch))
             for _ in range(cfg.G_epoch):
                 batch = self._padded_gan_batch()
                 g_params, g_opt_state, info_g = run_g(g_params, g_opt_state, batch)
-                g_hist.append({k: float(v) for k, v in
-                               jax.device_get(info_g).items()})
+                g_hist.append(info_g)
             if log_every and (epoch + 1) % log_every == 0:
-                d_mean = np.mean([h["loss_D"] for h in d_hist[-log_every:]])
-                g_mean = np.mean([h["loss_G"] for h in g_hist[-log_every:]])
-                print(f"Epoch: {epoch + 1}, D_loss: {d_mean:.2f}, G_loss: {g_mean:.2f}")
+                dw, gw = jax.device_get((
+                    [h["loss_D"] for h in d_hist[-log_every:]],
+                    [h["loss_G"] for h in g_hist[-log_every:]]))
+                print(f"Epoch: {epoch + 1}, D_loss: {np.mean(dw):.2f}, "
+                      f"G_loss: {np.mean(gw):.2f}")
 
         # write trained generator head back into the fusion params
         fusion_trainer.params = self._merge_g(fusion_trainer.params, g_params)
-        return d_hist, g_hist
+        # one bulk fetch materializes the histories host-side
+        return tuple([{k: float(v) for k, v in h.items()} for h in hist]
+                     for hist in jax.device_get((d_hist, g_hist)))
 
     # -- generator-side plumbing --------------------------------------------
 

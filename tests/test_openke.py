@@ -247,7 +247,32 @@ def test_train_loader_p_flag_imports_prob(bench_dir, native_lib):
     db = next(iter(dev))
     assert db["batch_r"].shape[0] == dev.batch_size * 3
     # the relation-corruption block must never contain the positive relation
+    # (corrupt_relations_prob may return r only for a degenerate pair with
+    # every relation true — impossible in this sparse seeded fixture)
     B = dev.batch_size
     pos_r = db["batch_r"][:B]
     neg_r = db["batch_r"][2 * B:]
-    assert not (neg_r == pos_r).all()
+    assert not (neg_r == pos_r).any()
+
+
+def test_jax_backend_p_without_filter_is_uniform_unfiltered(bench_dir):
+    """p=True + filter_flag=0 must mirror the native corrupt_rel_impl: the
+    prob table is ignored and corruption is uniform excluding only the
+    positive r (sampler.cpp:149-153) — not silently filtered+weighted."""
+    from mre_tpu.openke.data import TrainDataLoader
+
+    R = 6
+    kl = os.path.join(bench_dir, "kl_prob.txt")
+    if not os.path.exists(kl):
+        with open(kl, "w") as f:
+            for _ in range(R):
+                f.write(" ".join("1.0" for _ in range(R - 1)) + "\n")
+    dev = TrainDataLoader(in_path=bench_dir, nbatches=4, neg_rel=1,
+                          p=True, filter_flag=0, backend="jax", seed=5)
+    db = next(iter(dev))
+    B = dev.batch_size
+    pos_r = db["batch_r"][:B]
+    neg_r = db["batch_r"][2 * B:]
+    # unfiltered semantics: never the positive relation itself, always in range
+    assert not (neg_r == pos_r).any()
+    assert (neg_r >= 0).all() and (neg_r < dev.get_rel_tot()).all()

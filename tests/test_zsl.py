@@ -288,3 +288,54 @@ def test_rel_shared_evaluator_empty_candidates():
         {}, {}, None, None, lambda rel: np.zeros((2, 8), np.float32),
         verbose=False)
     assert out["n"] == 0 and out["hits10"] == 0.0 and out["per_relation"] == {}
+
+
+def test_rel_shared_counts_duplicate_candidates():
+    """A duplicated entity in a candidate list must count against the rank
+    once PER OCCURRENCE (the per-query evaluator scores it twice); the
+    shared-list path weights its single deduped column by multiplicity."""
+    import jax.numpy as jnp
+
+    from mre_tpu.eval.zero_shot import evaluate_zero_shot_rel_shared
+
+    rng = np.random.RandomState(7)
+    n_ent, D = 20, 6
+    T = jnp.asarray(rng.randn(n_ent, D).astype(np.float32))
+
+    def embed_rel_block(heads, shared):
+        return T[heads][:, None, :] + 2.0 * T[shared][None, :, :]
+
+    def embed_true(heads, trues):
+        return T[heads] + 2.0 * T[trues]
+
+    names = [f"e{i}" for i in range(n_ent)]
+    e2id = {n: i for i, n in enumerate(names)}
+    # one relation, two queries; the second query's list has e3 twice
+    cands_a = ["e5", "e3", "e7", "e9"]
+    cands_b = ["e6", "e3", "e3", "e7", "e9"]
+    test_candidates = {"rel0": {
+        "e1\trel0\te5": cands_a,
+        "e2\trel0\te6": cands_b,
+    }}
+    vecs = rng.randn(4, D).astype(np.float32)
+
+    out = evaluate_zero_shot_rel_shared(
+        test_candidates, e2id, embed_rel_block, embed_true,
+        lambda rel: vecs, query_chunk=2, verbose=False, return_ranks=True)
+
+    # numpy brute force with duplicates scored per occurrence
+    rv = vecs / np.maximum(np.linalg.norm(vecs, axis=-1, keepdims=True), 1e-12)
+    vbar = rv.mean(0)
+    Tn = np.asarray(T)
+
+    def score(h, c):
+        e = Tn[e2id[h]] + 2.0 * Tn[e2id[c]]
+        e = e / max(np.linalg.norm(e), 1e-12)
+        return float(e @ vbar)
+
+    expected = []
+    for key, cands in test_candidates["rel0"].items():
+        h = key.split("\t")[0]
+        ts = score(h, cands[0])
+        expected.append(1 + sum(score(h, c) >= ts for c in cands[1:]))
+    np.testing.assert_array_equal(out["ranks"], expected)
