@@ -51,14 +51,19 @@ class Trainer:
             return optax.apply_updates(params, updates), opt_state2, value
 
         params = model.params
+        res = 0.0
         for epoch in range(self.train_times):
-            res = 0.0
+            # accumulate the epoch loss ON DEVICE: float(value) per batch
+            # would block the host on a round trip per step (relay-attached
+            # chips), serializing sampling behind the device
+            res = None
             for data in self.data_loader:
                 params, opt_state, value = step(
                     params, opt_state,
                     jnp.asarray(data["batch_h"]), jnp.asarray(data["batch_t"]),
                     jnp.asarray(data["batch_r"]))
-                res += float(value)
+                res = value if res is None else res + value
+            res = float(res) if res is not None else 0.0
             if epoch % self.log_every == 0:
                 print(f"Epoch {epoch} | loss: {res:f}")
             if self.save_steps and self.checkpoint_dir and (epoch + 1) % self.save_steps == 0:

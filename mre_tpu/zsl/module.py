@@ -279,10 +279,15 @@ class ZSLModule:
                 self._meta(jnp.asarray(q_l), jnp.asarray(q_r)),
                 self._meta(jnp.asarray(f_l), jnp.asarray(f_r)),
                 jnp.asarray(q_mask))
-            losses.append(float(loss))
+            # device scalar — a float() here would block the host on a relay
+            # round trip every step (see train_gan); fetch per log window
+            losses.append(loss)
             if (i + 1) % log_every == 0:
-                print(f"Step: {i + 1}, Extractor pretraining loss: {np.mean(losses[-log_every:]):.3f}")
-        return float(np.mean(losses[-min(len(losses), 100):])) if losses else 0.0
+                w = jax.device_get(losses[-log_every:])
+                print(f"Step: {i + 1}, Extractor pretraining loss: {np.mean(w):.3f}")
+        if not losses:
+            return 0.0
+        return float(np.mean(jax.device_get(losses[-min(len(losses), 100):])))
 
     # -- centroid matrix (zsl_module.py:371-383) -----------------------------
 
