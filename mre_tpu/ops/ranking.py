@@ -106,7 +106,8 @@ def _metrics(ranks: np.ndarray) -> RankResults:
 def link_prediction(predict_all_tails: Callable, predict_all_heads: Callable,
                     params, kg_filter: DeviceKG, test_triples: np.ndarray,
                     chunk: int = 256, filter_pad: int | None = None,
-                    type_constraints=None) -> dict[str, RankResults]:
+                    type_constraints=None,
+                    jit_cache: dict | None = None) -> dict[str, RankResults]:
     """Run head+tail link prediction over all test triples.
 
     ``params`` is the model pytree the predict callables consume; it and
@@ -122,9 +123,16 @@ def link_prediction(predict_all_tails: Callable, predict_all_heads: Callable,
     Returns dict with keys 'raw', 'filter' (and 'raw_tc'/'filter_tc' when
     ``type_constraints`` — an (head_masks[R,E], tail_masks[R,E]) pair — is
     given), each averaging head and tail ranks like Test.h:232-327.
+
+    ``jit_cache`` (optional dict) reuses the compiled chunk runner across
+    calls with the same (chunk, filter_pad, tc) signature — periodic valid
+    evals otherwise retrace a fresh jit every round.
     """
     test = np.asarray(test_triples, np.int32).reshape(-1, 3)
     n = len(test)
+    if n == 0:
+        # a misloaded/empty test file must fail loudly, not NaN downstream
+        raise ValueError("link_prediction: no test triples")
     if filter_pad is None:
         # _filter_mask silently truncates rows longer than the pad, which
         # would overstate filtered metrics — derive the exact bound from the
@@ -139,31 +147,45 @@ def link_prediction(predict_all_tails: Callable, predict_all_heads: Callable,
     c_head_ranks, c_tail_ranks = [], []
 
     params = jax.tree.map(jnp.asarray, params)
+    if tc:
+        # upload the [R, E] constraint tables ONCE; the per-chunk row select
+        # happens on device (re-uploading ~20 MB masks per chunk serialized
+        # every chunk behind a host->device transfer)
+        head_tc = jnp.asarray(type_constraints[0])
+        tail_tc = jnp.asarray(type_constraints[1])
 
-    @functools.partial(jax.jit, static_argnames=())
-    def run_chunk(params, kg, h, r, t, head_tm, tail_tm):
-        tail_out = _rank_chunk(predict_all_tails, params, kg, h, r, t, "tail",
-                               filter_pad, tail_tm)
-        head_out = _rank_chunk(predict_all_heads, params, kg, h, r, t, "head",
-                               filter_pad, head_tm)
-        return tail_out, head_out
+    cache_key = ("run_chunk", chunk, filter_pad, tc)
+    run_chunk = jit_cache.get(cache_key) if jit_cache is not None else None
+    if run_chunk is None:
+        @functools.partial(jax.jit, static_argnames=())
+        def run_chunk(params, kg, h, r, t, head_tm, tail_tm):
+            tail_out = _rank_chunk(predict_all_tails, params, kg, h, r, t,
+                                   "tail", filter_pad, tail_tm)
+            head_out = _rank_chunk(predict_all_heads, params, kg, h, r, t,
+                                   "head", filter_pad, head_tm)
+            # stack each side's 2 (or 4) rank vectors: ONE array per side →
+            # one device->host transfer per side per chunk instead of 4-8
+            return jnp.stack(tail_out), jnp.stack(head_out)
+
+        if jit_cache is not None:
+            jit_cache[cache_key] = run_chunk
 
     for i in range(0, pad_n, chunk):
         h = jnp.asarray(padded[i:i + chunk, 0])
         r = jnp.asarray(padded[i:i + chunk, 1])
         t = jnp.asarray(padded[i:i + chunk, 2])
         if tc:
-            head_tm = jnp.asarray(type_constraints[0])[r]
-            tail_tm = jnp.asarray(type_constraints[1])[r]
+            head_tm = head_tc[r]
+            tail_tm = tail_tc[r]
         else:
             head_tm = tail_tm = None
-        tail_out, head_out = run_chunk(params, kg_filter, h, r, t,
-                                       head_tm, tail_tm)
-        tail_ranks.append(np.stack([np.asarray(x) for x in tail_out[:2]], 1))
-        head_ranks.append(np.stack([np.asarray(x) for x in head_out[:2]], 1))
+        tail_np, head_np = jax.device_get(run_chunk(
+            params, kg_filter, h, r, t, head_tm, tail_tm))
+        tail_ranks.append(tail_np[:2].T)
+        head_ranks.append(head_np[:2].T)
         if tc:
-            c_tail_ranks.append(np.stack([np.asarray(x) for x in tail_out[2:]], 1))
-            c_head_ranks.append(np.stack([np.asarray(x) for x in head_out[2:]], 1))
+            c_tail_ranks.append(tail_np[2:].T)
+            c_head_ranks.append(head_np[2:].T)
 
     tail_ranks = np.concatenate(tail_ranks)[:n]
     head_ranks = np.concatenate(head_ranks)[:n]
@@ -248,9 +270,13 @@ def triple_classification_threshold(pos_scores: np.ndarray, neg_scores: np.ndarr
     scores, labels = scores[order], labels[order]
     total = len(scores)
     n_pos = labels.sum()
-    # predicting positive for score <= threshold: accuracy after k-th cut
+    # predicting positive for score <= threshold: a threshold at scores[k]
+    # classifies EVERY tied score positive too, so evaluate each candidate
+    # cut at the rightmost index of its tie group — the reported accuracy
+    # then matches the decision rule exactly.
     tp = np.cumsum(labels)
     fp = np.cumsum(1 - labels)
-    acc = (tp + (total - n_pos - fp)) / total
+    last = np.searchsorted(scores, scores, side="right") - 1
+    acc = (tp[last] + (total - n_pos - fp[last])) / total
     k = int(np.argmax(acc))
     return float(scores[k]), float(acc[k])

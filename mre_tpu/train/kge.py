@@ -28,7 +28,7 @@ from mre_tpu.models import kge as kge_models
 from mre_tpu.ops import losses as L
 from mre_tpu.ops import sampling
 from mre_tpu.parallel import mesh as pmesh
-from mre_tpu.core.metrics import MetricLogger, RollingMean
+from mre_tpu.core.metrics import MetricLogger
 from mre_tpu.core import checkpoint as ckpt
 
 
@@ -131,8 +131,26 @@ class KGETrainer:
         cfg = self.cfg
         model = self.model
         loss_fn = L.LOSSES[cfg.loss]
-        kg = self.kg
         tx = self.tx
+        mesh = self.mesh
+        dp = int(mesh.shape.get(pmesh.DATA_AXIS, 1)) if mesh is not None else 1
+
+        def shard_batch(batch):
+            # data-parallel constraint on the on-device sampled batch: with
+            # params replicated and the batch sharded over 'data', GSPMD
+            # splits the step across the mesh and all-reduces the gradients
+            # over ICI (scalar fields — e.g. overflow counters — stay
+            # replicated).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            def shard(x):
+                if getattr(x, "ndim", 0) >= 1 and x.shape[0] == cfg.batch_size:
+                    spec = P(pmesh.DATA_AXIS, *([None] * (x.ndim - 1)))
+                    return jax.lax.with_sharding_constraint(
+                        x, NamedSharding(mesh, spec))
+                return x
+
+            return jax.tree_util.tree_map(shard, batch)
 
         def score(params, h, r, t):
             if cfg.model in ("transe", "transh", "transr", "transd"):
@@ -180,18 +198,24 @@ class KGETrainer:
                 value = value + cfg.l3_regul_rate * kge_models.distmult_l3_regularization(params)
             return value
 
-        def one_step(carry, sub):
+        def one_step(kg, carry, sub):
+            # kg arrives as a jit ARGUMENT (threaded from train_step /
+            # train_epoch below), never a closure constant: baked CSR tables
+            # blow up the serialized program on remote-compile backends at
+            # large dims (same hazard ranking.link_prediction documents).
             params, opt_state = carry
             batch = sampling.sample_training_batch(sub, kg, cfg.batch_size, cfg.neg_ent, cfg.bern)
+            if dp > 1:
+                batch = shard_batch(batch)
             value, grads = jax.value_and_grad(loss)(params, batch)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), (value, batch.overflow_truncated)
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(params, opt_state, rng):
+        def train_step(params, opt_state, rng, kg):
             rng, sub = jax.random.split(rng)
-            (params, opt_state), (value, trunc) = one_step((params, opt_state), sub)
+            (params, opt_state), (value, trunc) = one_step(kg, (params, opt_state), sub)
             return params, opt_state, rng, {"loss": value,
                                             "overflow_truncated": trunc}
 
@@ -202,11 +226,11 @@ class KGETrainer:
         # (ops/sampling.py _resolve_overflow: a silently-approximate filter
         # must be observable; 0 at reference sparsity).
         @functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=("n_steps",))
-        def train_epoch(params, opt_state, rng, n_steps):
+        def train_epoch(params, opt_state, rng, kg, n_steps):
             rng, sub = jax.random.split(rng)
             subs = jax.random.split(sub, n_steps)
             (params, opt_state), (values, truncs) = jax.lax.scan(
-                one_step, (params, opt_state), subs)
+                functools.partial(one_step, kg), (params, opt_state), subs)
             return params, opt_state, rng, {"loss": jnp.sum(values),
                                             "overflow_truncated": jnp.sum(truncs)}
 
@@ -222,19 +246,18 @@ class KGETrainer:
 
         self._loss_fn = jax.jit(loss)
         self._step_with_batch = step_with_batch
-        self._epoch_fn = train_epoch
-        return train_step
+        # kg bound as a per-call keyword argument (runtime input, not baked)
+        self._epoch_fn = functools.partial(train_epoch, kg=self.kg)
+        return functools.partial(train_step, kg=self.kg)
 
     def run(self, log_every: int = 50, logger: MetricLogger | None = None,
             save_steps: int | None = None, checkpoint_dir: str | None = None) -> float:
         cfg = self.cfg
-        roll = RollingMean(cfg.nbatches)
         last = 0.0
         for epoch in range(cfg.train_times):
             self.params, self.opt_state, self._rng, stats = self._epoch_fn(
                 self.params, self.opt_state, self._rng, n_steps=cfg.nbatches)
             last = float(stats["loss"])
-            roll.add(last)
             if logger and (epoch % log_every == 0 or epoch == cfg.train_times - 1):
                 logger.log({"epoch": epoch, "loss": last,
                             "overflow_truncated": int(stats["overflow_truncated"])},
@@ -247,9 +270,28 @@ class KGETrainer:
 
     def link_prediction(self, test_triples: np.ndarray, filter_table: TripleTable | None = None,
                         type_constraints=None, chunk: int = 256):
+        """Filtered link prediction. ``filter_table`` must be the
+        train+valid+test UNION for protocol-correct filtered ranks (Test.h
+        filters against tripleList = all splits); with None, only TRAIN
+        triples are excluded and filtered metrics are understated."""
+        import warnings
+
         from mre_tpu.ops import ranking
 
-        filt = DeviceKG.from_table(filter_table) if filter_table is not None else self.kg
+        if filter_table is None:
+            warnings.warn(
+                "link_prediction without filter_table: filtered ranks only "
+                "exclude TRAIN triples — pass the train+valid+test union "
+                "for the standard protocol (OpenKE Test.h).", stacklevel=2)
+        if getattr(self, "_filter_cache", None) is not None and \
+                self._filter_cache[0] is filter_table:
+            filt = self._filter_cache[1]
+        else:
+            filt = (DeviceKG.from_table(filter_table)
+                    if filter_table is not None else self.kg)
+            # periodic valid-eval runs reuse the same table object: skip the
+            # host->device re-upload of the union CSR each round
+            self._filter_cache = (filter_table, filt)
         cfg = self.cfg
         model = self.model
         params = self.params
@@ -274,12 +316,12 @@ class KGETrainer:
                 )
 
         all_tails, all_heads = ranking.make_predict_all(model, filt)
-        filter_pad = int(max(
-            np.max(np.diff(filter_table.hr_offsets)) if filter_table is not None else np.max(np.diff(self.table.hr_offsets)),
-            np.max(np.diff(filter_table.tr_offsets)) if filter_table is not None else np.max(np.diff(self.table.tr_offsets)),
-            1,
-        ))
+        if not hasattr(self, "_rank_jit_cache"):
+            # reuse the compiled chunk runner across periodic valid evals
+            self._rank_jit_cache = {}
+        # filter_pad=None: link_prediction derives the exact bound from the
+        # kg's own CSR offsets (kg.max_row_len) — no duplicate derivation.
         return ranking.link_prediction(all_tails, all_heads, params, filt,
                                        test_triples, chunk=chunk,
-                                       filter_pad=filter_pad,
-                                       type_constraints=type_constraints)
+                                       type_constraints=type_constraints,
+                                       jit_cache=self._rank_jit_cache)

@@ -45,7 +45,16 @@ def test_kge_step_sharded_batch():
     params = jax.device_put(trainer.params, NamedSharding(mesh, P()))
     opt_state = jax.device_put(trainer.opt_state, NamedSharding(mesh, P()))
     out = trainer._step(params, opt_state, trainer._rng)
-    assert np.isfinite(float(out[-1]["loss"]))
+    loss_dp = float(out[-1]["loss"])
+    assert np.isfinite(loss_dp)
+
+    # same seed, no mesh: the dp-sharded step (batch constrained over 'data',
+    # gradients all-reduced by GSPMD) must be numerically the 1-device step
+    cfg = trainer.cfg
+    ref = KGETrainer(table, cfg)
+    ref_out = ref._step(ref.params, ref.opt_state, ref._rng)
+    np.testing.assert_allclose(loss_dp, float(ref_out[-1]["loss"]),
+                               rtol=2e-5, atol=1e-6)
 
 
 def test_fusion_trainer_with_mesh():
