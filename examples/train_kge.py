@@ -117,11 +117,11 @@ def main(argv=None):
 
     loader = ok.TrainDataLoader(in_path=in_path, threads=8, **loader_kw)
     model_cls = getattr(ok, model_name)
-    # margin/epsilon init args only exist for some models
-    model_kw = {k: v for k, v in model_kw.items()
-                if k not in ("epsilon",) or model_name in ("RotatE",)}
-    if model_name not in ("RotatE", "TransE"):
-        model_kw.pop("margin", None)
+    # pass exactly the constructor args this wrapper supports (margin/epsilon
+    # reach the init-range branch for the models that have one upstream)
+    import inspect
+    accepted = inspect.signature(model_cls.__init__).parameters
+    model_kw = {k: v for k, v in model_kw.items() if k in accepted}
     model = model_cls(loader.get_ent_tot(), loader.get_rel_tot(), **model_kw)
 
     loss_name, loss_kw = strat_kw.pop("loss")

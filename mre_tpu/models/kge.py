@@ -93,13 +93,26 @@ def _mean_sq(*xs):
     return sum(jnp.mean(x * x) for x in xs) / len(xs)
 
 
+def _table_init(key, shape, dim, margin=None, epsilon=None):
+    """Reference embedding-init branch (TransE.py:20-36; same pattern in
+    TransH/TransD/DistMult/HolE): xavier_uniform unless BOTH margin and
+    epsilon are given, in which case uniform(±(margin+epsilon)/dim) — the
+    wide-range init the self-adversarial recipes depend on (e.g.
+    train_distmult_WN18RR_adv.py: dim 1024, margin 200, epsilon 2)."""
+    if margin is None or epsilon is None:
+        return xavier_uniform(key, shape)
+    rng = (margin + epsilon) / dim
+    return jax.random.uniform(key, shape, minval=-rng, maxval=rng)
+
+
 # --------------------------------------------------------------------------
 # Translation family
 # --------------------------------------------------------------------------
 
-def _transe_init(key, n_ent, n_rel, dim=200, **kw):
+def _transe_init(key, n_ent, n_rel, dim=200, margin=None, epsilon=None, **kw):
     k1, k2 = jax.random.split(key)
-    return {"ent": xavier_uniform(k1, (n_ent, dim)), "rel": xavier_uniform(k2, (n_rel, dim))}
+    return {"ent": _table_init(k1, (n_ent, dim), dim, margin, epsilon),
+            "rel": _table_init(k2, (n_rel, dim), dim, margin, epsilon)}
 
 
 def _transe_score(params, h, r, t, p_norm=1, norm_flag=True):
@@ -119,11 +132,11 @@ register(KGEModel(
 ))
 
 
-def _transh_init(key, n_ent, n_rel, dim=200, **kw):
+def _transh_init(key, n_ent, n_rel, dim=200, margin=None, epsilon=None, **kw):
     k1, k2, k3 = jax.random.split(key, 3)
-    return {"ent": xavier_uniform(k1, (n_ent, dim)),
-            "rel": xavier_uniform(k2, (n_rel, dim)),
-            "norm": xavier_uniform(k3, (n_rel, dim))}
+    return {"ent": _table_init(k1, (n_ent, dim), dim, margin, epsilon),
+            "rel": _table_init(k2, (n_rel, dim), dim, margin, epsilon),
+            "norm": _table_init(k3, (n_rel, dim), dim, margin, epsilon)}
 
 
 def _transh_score(params, h, r, t, p_norm=1, norm_flag=True):
@@ -146,7 +159,11 @@ register(KGEModel(
 ))
 
 
-def _transr_init(key, n_ent, n_rel, dim_e=200, dim_r=200, rand_init=False, **kw):
+def _transr_init(key, n_ent, n_rel, dim_e=None, dim_r=None, dim=200,
+                 rand_init=False, **kw):
+    # dim is the KGETrainer-facing knob; dim_e/dim_r override it (TransR.py)
+    dim_e = dim if dim_e is None else dim_e
+    dim_r = dim if dim_r is None else dim_r
     k1, k2, k3 = jax.random.split(key, 3)
     if rand_init:
         mat = xavier_uniform(k3, (n_rel, dim_e * dim_r)).reshape(n_rel, dim_e, dim_r)
@@ -229,12 +246,17 @@ register(KGEModel(
 ))
 
 
-def _transd_init(key, n_ent, n_rel, dim_e=200, dim_r=200, **kw):
+def _transd_init(key, n_ent, n_rel, dim_e=None, dim_r=None, dim=200,
+                 margin=None, epsilon=None, **kw):
+    # dim is the KGETrainer-facing knob; dim_e/dim_r override it (TransD.py)
+    dim_e = dim if dim_e is None else dim_e
+    dim_r = dim if dim_r is None else dim_r
     ks = jax.random.split(key, 4)
-    return {"ent": xavier_uniform(ks[0], (n_ent, dim_e)),
-            "rel": xavier_uniform(ks[1], (n_rel, dim_r)),
-            "ent_p": xavier_uniform(ks[2], (n_ent, dim_e)),
-            "rel_p": xavier_uniform(ks[3], (n_rel, dim_r))}
+    # TransD.py:29-54: separate ent/rel ranges, transfers share them
+    return {"ent": _table_init(ks[0], (n_ent, dim_e), dim_e, margin, epsilon),
+            "rel": _table_init(ks[1], (n_rel, dim_r), dim_r, margin, epsilon),
+            "ent_p": _table_init(ks[2], (n_ent, dim_e), dim_e, margin, epsilon),
+            "rel_p": _table_init(ks[3], (n_rel, dim_r), dim_r, margin, epsilon)}
 
 
 def _resize_last(x, size):
@@ -272,9 +294,10 @@ register(KGEModel(
 # Bilinear family (MXU matmul fast paths for rank-all eval)
 # --------------------------------------------------------------------------
 
-def _distmult_init(key, n_ent, n_rel, dim=200, **kw):
+def _distmult_init(key, n_ent, n_rel, dim=200, margin=None, epsilon=None, **kw):
     k1, k2 = jax.random.split(key)
-    return {"ent": xavier_uniform(k1, (n_ent, dim)), "rel": xavier_uniform(k2, (n_rel, dim))}
+    return {"ent": _table_init(k1, (n_ent, dim), dim, margin, epsilon),
+            "rel": _table_init(k2, (n_rel, dim), dim, margin, epsilon)}
 
 
 def _distmult_score(params, h, r, t):
@@ -600,9 +623,10 @@ register(KGEModel(
 ))
 
 
-def _hole_init(key, n_ent, n_rel, dim=200, **kw):
+def _hole_init(key, n_ent, n_rel, dim=200, margin=None, epsilon=None, **kw):
     k1, k2 = jax.random.split(key)
-    return {"ent": xavier_uniform(k1, (n_ent, dim)), "rel": xavier_uniform(k2, (n_rel, dim))}
+    return {"ent": _table_init(k1, (n_ent, dim), dim, margin, epsilon),
+            "rel": _table_init(k2, (n_rel, dim), dim, margin, epsilon)}
 
 
 def _ccorr(a, b):

@@ -64,7 +64,7 @@ class Trainer:
                     jnp.asarray(data["batch_r"]))
                 res = value if res is None else res + value
             res = float(res) if res is not None else 0.0
-            if epoch % self.log_every == 0:
+            if self.log_every and epoch % self.log_every == 0:
                 print(f"Epoch {epoch} | loss: {res:f}")
             if self.save_steps and self.checkpoint_dir and (epoch + 1) % self.save_steps == 0:
                 model.params = params
@@ -89,6 +89,12 @@ class Tester:
         table = TripleTable.build(all_triples, bench["n_entities"], bench["n_relations"])
         kg = DeviceKG.from_table(table)
         tc = read_type_constraints(in_path, bench["n_relations"], bench["n_entities"]) if type_constrain else None
+        if type_constrain and tc is None:
+            # fail BEFORE the (minutes-long on TPU) ranking pass, not on a
+            # KeyError afterwards
+            raise FileNotFoundError(
+                f"type_constrain=True but {in_path}type_constrain.txt is "
+                "missing (generate it with data/prep.py::write_type_constrain)")
 
         fn, params = self.model._fn, self.model.params
         kwargs = self.model._score_kwargs
@@ -99,10 +105,11 @@ class Tester:
             fn = dataclasses.replace(
                 fn, predict=lambda p, h, r, t: base_predict(p, h, r, t, **kwargs))
         all_tails, all_heads = ranking.make_predict_all(fn, kg)
-        filter_pad = int(max(np.max(np.diff(table.hr_offsets)), np.max(np.diff(table.tr_offsets)), 1))
+        if not hasattr(self, "_rank_jit_cache"):
+            self._rank_jit_cache = {}   # reuse the chunk runner across calls
         res = ranking.link_prediction(all_tails, all_heads, params, kg,
-                                      bench["test"], filter_pad=filter_pad,
-                                      type_constraints=tc)
+                                      bench["test"], type_constraints=tc,
+                                      jit_cache=self._rank_jit_cache)
         key = "filter_tc" if type_constrain else "filter"
         m = res[key]
         print(f"MRR: {m.mrr:.6f}  MR: {m.mr:.1f}  Hits@10: {m.hits10:.6f}  "
@@ -157,9 +164,15 @@ class Tester:
 
         valid, test = bench["valid"], bench["test"]
         if threshold is None:
-            vp = scores_of(valid)
-            vn = scores_of(negatives_of(valid, 0))
-            threshold, _ = ranking.triple_classification_threshold(vp, vn)
+            if len(valid):
+                # Deliberate deviation from Tester.py:114-133, which fits the
+                # threshold on the SAME test scores it then reports accuracy
+                # on; we fit on the valid split and evaluate on test.
+                fp, fn_ = scores_of(valid), scores_of(negatives_of(valid, 0))
+            else:
+                # no valid split: reference behavior (fit on test)
+                fp, fn_ = scores_of(test), scores_of(negatives_of(test, 1))
+            threshold, _ = ranking.triple_classification_threshold(fp, fn_)
         tp = scores_of(test)
         tn = scores_of(negatives_of(test, 1))
         acc = (np.sum(tp <= threshold) + np.sum(tn > threshold)) / (len(tp) + len(tn))

@@ -110,7 +110,8 @@ class TransE(Model):
 
     def __init__(self, ent_tot, rel_tot, dim=100, p_norm=1, norm_flag=True,
                  margin=None, epsilon=None, seed=0):
-        super().__init__(ent_tot, rel_tot, seed=seed, dim=dim)
+        super().__init__(ent_tot, rel_tot, seed=seed, dim=dim,
+                         margin=margin, epsilon=epsilon)
         self._score_kwargs = dict(p_norm=p_norm, norm_flag=norm_flag)
         self._margin = margin
 
@@ -120,8 +121,10 @@ class TransH(Model):
 
     def __init__(self, ent_tot, rel_tot, dim=100, p_norm=1, norm_flag=True,
                  margin=None, epsilon=None, seed=0):
-        super().__init__(ent_tot, rel_tot, seed=seed, dim=dim)
+        super().__init__(ent_tot, rel_tot, seed=seed, dim=dim,
+                         margin=margin, epsilon=epsilon)
         self._score_kwargs = dict(p_norm=p_norm, norm_flag=norm_flag)
+        self._margin = margin   # margin_flag (TransH.py:44-50)
 
 
 class TransR(Model):
@@ -132,6 +135,8 @@ class TransR(Model):
         super().__init__(ent_tot, rel_tot, seed=seed, dim_e=dim_e, dim_r=dim_r,
                          rand_init=rand_init)
         self._score_kwargs = dict(p_norm=p_norm, norm_flag=norm_flag)
+        self._margin = margin   # margin_flag (TransR.py:33-38); no epsilon
+                                # branch upstream (no embedding_range)
 
 
 class TransD(Model):
@@ -139,15 +144,20 @@ class TransD(Model):
 
     def __init__(self, ent_tot, rel_tot, dim_e=100, dim_r=100, p_norm=1,
                  norm_flag=True, margin=None, epsilon=None, seed=0):
-        super().__init__(ent_tot, rel_tot, seed=seed, dim_e=dim_e, dim_r=dim_r)
+        super().__init__(ent_tot, rel_tot, seed=seed, dim_e=dim_e, dim_r=dim_r,
+                         margin=margin, epsilon=epsilon)
         self._score_kwargs = dict(p_norm=p_norm, norm_flag=norm_flag)
+        self._margin = margin   # margin_flag (TransD.py:55-60)
 
 
 class DistMult(Model):
     model_name = "distmult"
 
     def __init__(self, ent_tot, rel_tot, dim=100, margin=None, epsilon=None, seed=0):
-        super().__init__(ent_tot, rel_tot, seed=seed, dim=dim)
+        # margin/epsilon affect ONLY the init range in the reference
+        # DistMult (no margin_flag forward branch, DistMult.py:16-32)
+        super().__init__(ent_tot, rel_tot, seed=seed, dim=dim,
+                         margin=margin, epsilon=epsilon)
 
     def l3_regularization(self):
         return K.distmult_l3_regularization(self.params)
@@ -192,7 +202,8 @@ class HolE(Model):
     model_name = "hole"
 
     def __init__(self, ent_tot, rel_tot, dim=100, margin=None, epsilon=None, seed=0):
-        super().__init__(ent_tot, rel_tot, seed=seed, dim=dim)
+        super().__init__(ent_tot, rel_tot, seed=seed, dim=dim,
+                         margin=margin, epsilon=epsilon)
 
     def l3_regularization(self):
         return K.hole_l3_regularization(self.params)

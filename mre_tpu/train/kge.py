@@ -77,7 +77,17 @@ def make_optimizer(opt_method: str, lr: float, lr_decay: float = 0.0, weight_dec
     else:
         tx = optax.sgd(lr)
     if weight_decay:
-        tx = optax.chain(optax.add_decayed_weights(weight_decay), tx)
+        # never decay frozen buffers (RotatE keeps margin/rel_range in the
+        # params pytree with stop_gradient — requires_grad=False upstream,
+        # RotatE.py:20-43; decay would shrink them despite zero grads)
+        tx = optax.chain(
+            optax.add_decayed_weights(
+                weight_decay,
+                mask=lambda params: jax.tree_util.tree_map_with_path(
+                    lambda path, _: not any(
+                        getattr(k, "key", None) in ("margin", "rel_range")
+                        for k in path), params)),
+            tx)
     return tx
 
 

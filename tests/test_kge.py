@@ -215,3 +215,21 @@ def test_rotate_sided_path_matches_generic():
     for k in ("ent", "rel"):
         np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_margin_epsilon_uniform_init():
+    """Reference init branch (TransE.py:20-36 pattern): BOTH margin and
+    epsilon given -> uniform(+-(margin+epsilon)/dim); otherwise xavier."""
+    import jax
+
+    from mre_tpu.models import kge as K
+
+    rng_lim = (200.0 + 2.0) / 64
+    for name in ("transe", "transh", "transd", "distmult", "hole"):
+        m = K.get(name)
+        p = m.init(jax.random.key(0), 50, 5, dim=64, margin=200.0, epsilon=2.0)
+        ent = np.asarray(p["ent"])
+        assert np.abs(ent).max() <= rng_lim, name
+        assert np.abs(ent).max() > 0.8 * rng_lim, name   # wide-range init hit
+        x = m.init(jax.random.key(0), 50, 5, dim=64)
+        assert np.abs(np.asarray(x["ent"])).max() < 0.1 * rng_lim, name  # xavier
