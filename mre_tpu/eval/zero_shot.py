@@ -59,7 +59,7 @@ def metrics_from_ranks(ranks: np.ndarray) -> dict:
 
 
 def _rank_stream(embed_query_pairs: Callable, pairs, left, right, mask, vbar,
-                 chunk: int, c_max: int):
+                 chunk: int, c_max: int, embed_args=None):
     """Rank a padded query stream in ONE device program.
 
     All relations' queries are concatenated into one [Q_pad, c_max] stream
@@ -69,12 +69,18 @@ def _rank_stream(embed_query_pairs: Callable, pairs, left, right, mask, vbar,
     exactly ONE compiled shape regardless of per-relation query counts.
     """
 
+    has_ea = embed_args is not None
+
     @functools.partial(jax.jit, static_argnames=())
-    def run(pairs, left, right, mask, vbar):
+    def run(ea, pairs, left, right, mask, vbar):
         def step(_, x):
             p, l, r, m, v = x
-            emb = embed_query_pairs(p.reshape(-1, 2), l.reshape(-1),
-                                    r.reshape(-1))
+            # ea threads model params/tables through the jit as ARGUMENTS —
+            # baked closure constants would change the program every round
+            # (fresh weights), defeating both the in-process and the
+            # remote-compile caches (minutes per ZSL round on the tunnel)
+            args = (p.reshape(-1, 2), l.reshape(-1), r.reshape(-1))
+            emb = embed_query_pairs(ea, *args) if has_ea                 else embed_query_pairs(*args)
             emb = emb.reshape(chunk, c_max, -1)
             emb = emb / jnp.maximum(
                 jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
@@ -87,11 +93,11 @@ def _rank_stream(embed_query_pairs: Callable, pairs, left, right, mask, vbar,
         _, ranks = jax.lax.scan(step, None, (pairs, left, right, mask, vbar))
         return ranks.reshape(-1)
 
-    return np.asarray(run(pairs, left, right, mask, vbar))
+    return np.asarray(run(embed_args, pairs, left, right, mask, vbar))
 
 
 def _rank_stream_block(embed_query_block: Callable, heads, right, mask, vbar,
-                       chunk: int, c_max: int):
+                       chunk: int, c_max: int, embed_args=None):
     """Block variant of ``_rank_stream``: one head entity per query.
 
     ``embed_query_block(heads [chunk], cands [chunk, c_max]) → [chunk,
@@ -99,11 +105,13 @@ def _rank_stream_block(embed_query_block: Callable, heads, right, mask, vbar,
     gathered once per query instead of once per candidate, halving the
     latency-bound gather rows that dominate the ranking hot path."""
 
+    has_ea = embed_args is not None
+
     @functools.partial(jax.jit, static_argnames=())
-    def run(heads, right, mask, vbar):
+    def run(ea, heads, right, mask, vbar):
         def step(_, x):
             hd, r, m, v = x
-            emb = embed_query_block(hd, r)
+            emb = embed_query_block(ea, hd, r) if has_ea else embed_query_block(hd, r)
             emb = emb / jnp.maximum(
                 jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
             scores = jnp.einsum("qcd,qd->qc", emb, v,
@@ -115,13 +123,14 @@ def _rank_stream_block(embed_query_block: Callable, heads, right, mask, vbar,
         _, ranks = jax.lax.scan(step, None, (heads, right, mask, vbar))
         return ranks.reshape(-1)
 
-    return np.asarray(run(heads, right, mask, vbar))
+    return np.asarray(run(embed_args, heads, right, mask, vbar))
 
 
 def _rank_stream_rel_shared(embed_rel_block: Callable, embed_true: Callable,
                             heads, trues, shared, mask, vbar,
                             chunk: int, c_max: int,
-                            mesh=None, axis_name: str = "data"):
+                            mesh=None, axis_name: str = "data",
+                            embed_args=None):
     """Relation-shared variant of ``_rank_stream_block``.
 
     Each scan chunk holds queries of ONE relation plus that relation's
@@ -160,14 +169,21 @@ def _rank_stream_rel_shared(embed_rel_block: Callable, embed_true: Callable,
         heads, trues, shared, mask, vbar = map(
             resh, (heads, trues, shared, mask, vbar))
 
+        has_ea = embed_args is not None
+
         @functools.partial(jax.jit, static_argnames=())
-        def run_sharded(heads, trues, shared, mask, vbar):
+        def run_sharded(ea, heads, trues, shared, mask, vbar):
+            if has_ea:
+                erb = lambda hd, sh: embed_rel_block(ea, hd, sh)
+                etr = lambda hd, tr: embed_true(ea, hd, tr)
+            else:
+                erb, etr = embed_rel_block, embed_true
             def step(_, x):
                 hd, tr, sh, m, v = x                     # [ndev, chunk, ...]
-                emb = jax.vmap(embed_rel_block)(hd, sh)  # [ndev, chunk, C, D]
+                emb = jax.vmap(erb)(hd, sh)              # [ndev, chunk, C, D]
                 emb = emb / jnp.maximum(
                     jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
-                te = jax.vmap(embed_true)(hd, tr)        # [ndev, chunk, D]
+                te = jax.vmap(etr)(hd, tr)               # [ndev, chunk, D]
                 te = te / jnp.maximum(
                     jnp.linalg.norm(te, axis=-1, keepdims=True), 1e-12)
                 scores = jnp.einsum("gqcd,gqd->gqc", emb, v,
@@ -181,16 +197,19 @@ def _rank_stream_rel_shared(embed_rel_block: Callable, embed_true: Callable,
                 step, None, (heads, trues, shared, mask, vbar))
             return ranks.reshape(-1)
 
-        return np.asarray(run_sharded(heads, trues, shared, mask, vbar))
+        return np.asarray(run_sharded(embed_args, heads, trues, shared,
+                                      mask, vbar))
+
+    has_ea = embed_args is not None
 
     @functools.partial(jax.jit, static_argnames=())
-    def run(heads, trues, shared, mask, vbar):
+    def run(ea, heads, trues, shared, mask, vbar):
         def step(_, x):
             hd, tr, sh, m, v = x
-            emb = embed_rel_block(hd, sh)                    # [chunk, C, D]
+            emb = embed_rel_block(ea, hd, sh) if has_ea                 else embed_rel_block(hd, sh)                 # [chunk, C, D]
             emb = emb / jnp.maximum(
                 jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
-            te = embed_true(hd, tr)                          # [chunk, D]
+            te = embed_true(ea, hd, tr) if has_ea                 else embed_true(hd, tr)                      # [chunk, D]
             te = te / jnp.maximum(
                 jnp.linalg.norm(te, axis=-1, keepdims=True), 1e-12)
             scores = jnp.einsum("qcd,qd->qc", emb, v,
@@ -203,7 +222,7 @@ def _rank_stream_rel_shared(embed_rel_block: Callable, embed_true: Callable,
         _, ranks = jax.lax.scan(step, None, (heads, trues, shared, mask, vbar))
         return ranks.reshape(-1)
 
-    return np.asarray(run(heads, trues, shared, mask, vbar))
+    return np.asarray(run(embed_args, heads, trues, shared, mask, vbar))
 
 
 def evaluate_zero_shot_rel_shared(test_candidates: dict, e2id: dict,
@@ -212,7 +231,8 @@ def evaluate_zero_shot_rel_shared(test_candidates: dict, e2id: dict,
                                   generate_relation_vecs: Callable,
                                   query_chunk: int = 64, verbose: bool = True,
                                   return_ranks: bool = False,
-                                  mesh=None, axis_name: str = "data") -> dict:
+                                  mesh=None, axis_name: str = "data",
+                                  embed_args=None) -> dict:
     """Zero-shot ranking via the relation-shared hot path.
 
     Host side reconstructs each relation's shared candidate list (first-seen
@@ -305,7 +325,8 @@ def evaluate_zero_shot_rel_shared(test_candidates: dict, e2id: dict,
         jnp.asarray(np.stack(shared_rows)),
         jnp.asarray(np.stack(mask_l).reshape(nc, query_chunk, c_max)),
         jnp.asarray(np.stack(vbar_l).reshape(nc, query_chunk, D)),
-        query_chunk, c_max, mesh=mesh, axis_name=axis_name)
+        query_chunk, c_max, mesh=mesh, axis_name=axis_name,
+        embed_args=embed_args)
 
     per_relation = {}
     real_ranks = []
@@ -335,7 +356,7 @@ def evaluate_zero_shot(test_candidates: dict, symbol2id: dict, e2id: dict,
                        generate_relation_vecs: Callable,
                        query_chunk: int = 64, verbose: bool = True,
                        embed_query_block: Callable | None = None,
-                       return_ranks: bool = False) -> dict:
+                       return_ranks: bool = False, embed_args=None) -> dict:
     """Run zero-shot ranking over every unseen relation.
 
     ``embed_query_pairs(pairs [N,2] symbol ids, left [N], right [N]) → [N, D]``
@@ -344,6 +365,11 @@ def evaluate_zero_shot(test_candidates: dict, symbol2id: dict, e2id: dict,
     Host side builds one id-mapped stream over ALL relations; device side is
     one scanned jit (see ``_rank_stream``). Tie semantics are pessimistic
     (1 + #greater + #tied), matching the reference's descending argsort.
+
+    ``embed_args`` (optional pytree): when given, the embed callables are
+    invoked as ``embed(embed_args, ...)`` and the pytree is threaded through
+    the jit as an ARGUMENT — keeping model weights/tables out of the
+    compiled program's constants so repeated evals reuse one compilation.
     """
     per_relation = {}
 
@@ -412,7 +438,7 @@ def evaluate_zero_shot(test_candidates: dict, symbol2id: dict, e2id: dict,
             jnp.asarray(np.stack(right_l).reshape(nc, query_chunk, c_max)),
             jnp.asarray(np.stack(mask_l).reshape(nc, query_chunk, c_max)),
             jnp.asarray(np.stack(vbar_l).reshape(nc, query_chunk, D)),
-            query_chunk, c_max)[:n_q]
+            query_chunk, c_max, embed_args=embed_args)[:n_q]
     else:
         ranks = _rank_stream(
             embed_query_pairs,
@@ -421,7 +447,7 @@ def evaluate_zero_shot(test_candidates: dict, symbol2id: dict, e2id: dict,
             jnp.asarray(np.stack(right_l).reshape(nc, query_chunk, c_max)),
             jnp.asarray(np.stack(mask_l).reshape(nc, query_chunk, c_max)),
             jnp.asarray(np.stack(vbar_l).reshape(nc, query_chunk, D)),
-            query_chunk, c_max)[:n_q]
+            query_chunk, c_max, embed_args=embed_args)[:n_q]
 
     off = 0
     for rel, cnt in zip(rel_order, counts):

@@ -125,7 +125,8 @@ class UnifiedModel(nn.Module):
     # -- full fusion forward -------------------------------------------------
 
     def __call__(self, edge_index, edge_type, batch, deterministic: bool = False,
-                 is_evaluate: bool = False, edge_mask=None, update_sn: bool = False):
+                 is_evaluate: bool = False, edge_mask=None, update_sn: bool = False,
+                 node_mask=None):
         cfg = Config(self.config)
         image = batch.get("image_patches")
         text = batch["text"]
@@ -149,7 +150,8 @@ class UnifiedModel(nn.Module):
             text_padding_mask, deterministic)
 
         if cfg.contrastive and image is not None and text is not None:
-            loss_c, c_acc = L.contrastive_loss(image_x.mean(axis=1), text_x.mean(axis=1))
+            loss_c, c_acc = L.contrastive_loss(image_x.mean(axis=1), text_x.mean(axis=1),
+                                               row_mask=node_mask)
         else:
             loss_c, c_acc = 0.0, 0.0
 

@@ -105,19 +105,40 @@ def mask_not(mask):
 # Contrastive loss
 # --------------------------------------------------------------------------
 
-def contrastive_loss(image_rep, text_rep, bidirect=True, temperature=0.05):
+def contrastive_loss(image_rep, text_rep, bidirect=True, temperature=0.05,
+                     row_mask=None):
     """Bidirectional InfoNCE over normalized mean-token reps
-    (reference: module/model.py:578-597; diagonal of log_softmax over axis 0)."""
+    (reference: module/model.py:578-597; diagonal of log_softmax over axis 0).
+
+    ``row_mask`` [N] excludes padded batch rows: a padded row is an exact
+    duplicate of a real one (graph_sampler pads by repeating a node), so
+    left in it would both add an unbeatable duplicate negative column AND
+    contribute its own diagonal term. Masked rows are dropped from the
+    softmax (both directions) and from the mean."""
     a = image_rep / jnp.maximum(jnp.linalg.norm(image_rep, axis=-1, keepdims=True), 1e-12)
     b = text_rep / jnp.maximum(jnp.linalg.norm(text_rep, axis=-1, keepdims=True), 1e-12)
     total = jnp.dot(a, b.T, preferred_element_type=jnp.float32) / temperature
     labels = jnp.arange(total.shape[0])
 
-    def _nce(m):
-        return -jnp.mean(jnp.diag(jax.nn.log_softmax(m, axis=0)))
+    if row_mask is None:
+        def _nce(m):
+            return -jnp.mean(jnp.diag(jax.nn.log_softmax(m, axis=0)))
 
-    def _acc(m):
-        return jnp.mean(jnp.argmax(m, axis=0) == labels)
+        def _acc(m):
+            return jnp.mean(jnp.argmax(m, axis=0) == labels)
+    else:
+        valid = row_mask.astype(bool)
+        w = valid.astype(jnp.float32)
+        denom = jnp.maximum(w.sum(), 1.0)
+        # mask rows AND columns so both softmax directions see only real rows
+        total = jnp.where(valid[:, None] & valid[None, :], total, -1e9)
+
+        def _nce(m):
+            return -jnp.sum(jnp.diag(jax.nn.log_softmax(m, axis=0)) * w) / denom
+
+        def _acc(m):
+            ok = (jnp.argmax(m, axis=0) == labels).astype(jnp.float32)
+            return jnp.sum(ok * w) / denom
 
     if not bidirect:
         return _nce(total), _acc(total)

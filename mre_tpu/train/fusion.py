@@ -178,12 +178,13 @@ class FusionTrainer:
             edge_index = device_batch["edge_index"]
             edge_type = device_batch["edge_type"]
             edge_mask = device_batch["edge_mask"]
+            node_mask = device_batch["node_mask"]
             n_id = device_batch["n_id"]
 
             (x_gcn, rel_emb, out), new_vars = model.apply(
                 {"params": params, "spectral": spectral},
                 edge_index, edge_type, model_batch, False,
-                edge_mask=edge_mask, update_sn=True,
+                edge_mask=edge_mask, update_sn=True, node_mask=node_mask,
                 mutable=["spectral"],
                 rngs={"masking": k_mask, "dropout": k_drop})
 
@@ -200,20 +201,32 @@ class FusionTrainer:
             w = edge_mask.astype(jnp.float32)
             gcn_loss = jnp.sum(diff * w[:, None]) / jnp.maximum(jnp.sum(w) * cfg.neg_ent, 1.0) + cfg.margin
 
-            regul = (jnp.mean(x_gcn[h_l] ** 2) + jnp.mean(x_gcn[t_l] ** 2)
-                     + jnp.mean(rel_emb ** 2)) / 3
+            # padded rows (graph_sampler repeats a real node to n_max/e_max)
+            # must not enter any loss mean: reconstruction losses would count
+            # one entity many times and the regularizer would over-weight
+            # padded edges' rows. Reference trains on the exact unpadded
+            # subgraph (main.py:126-155).
+            nm = node_mask.astype(jnp.float32)
+
+            def wmean_sq(x, mask_w):
+                return (jnp.sum(jnp.sum(x * x, -1) * mask_w)
+                        / jnp.maximum(mask_w.sum() * x.shape[-1], 1.0))
+
+            regul = (wmean_sq(x_gcn[h_l], w) + wmean_sq(x_gcn[t_l], w)
+                     + wmean_sq(rel_emb, w)) / 3
             struct_loss = gcn_loss + cfg.regul_rate * regul
 
             image = model_batch.get("image_patches")
             if image is not None:
-                image_loss = L.patch_mse_loss(
-                    out["image_output"], image,
-                    None if cfg.image_all_token_loss else out["image_mask"])
+                img_valid = (jnp.broadcast_to(nm[:, None], out["image_mask"].shape)
+                             if cfg.image_all_token_loss
+                             else out["image_mask"] * nm[:, None])
+                image_loss = L.patch_mse_loss(out["image_output"], image, img_valid)
             else:
                 image_loss = 0.0
             text_valid = L.mask_intersection(
                 jnp.ones_like(out["text_mask"]) if cfg.text_all_token_loss else out["text_mask"],
-                L.mask_not(model_batch["text_padding_mask"]))
+                L.mask_not(model_batch["text_padding_mask"])) * nm[:, None]
             text_loss, text_acc = L.cross_entropy_loss_and_accuracy(
                 out["text_output"], model_batch["text"], text_valid)
 
@@ -253,6 +266,7 @@ class FusionTrainer:
         mm = self.store.generate_batch(n_id, graph_batch["edge_type"], train=True)
         device_batch = {
             "n_id": jnp.asarray(n_id),
+            "node_mask": jnp.asarray(graph_batch["node_mask"]),
             "edge_index": jnp.asarray(graph_batch["edge_index"]),
             "edge_type": jnp.asarray(graph_batch["edge_type"]),
             "edge_mask": jnp.asarray(graph_batch["edge_mask"]),
@@ -307,10 +321,19 @@ class FusionTrainer:
         q: "queue.Queue" = queue.Queue(maxsize=max(prefetch, 1))
         stop = object()
 
+        err: list = []
+
         def producer():
-            for graph_batch in self.sampler:
-                q.put(self.prepare_device_batch(graph_batch))
-            q.put(stop)
+            # the stop sentinel MUST go in even when batch assembly raises
+            # (e.g. one corrupt image): otherwise the consumer blocks in
+            # q.get() forever and the run hangs silently
+            try:
+                for graph_batch in self.sampler:
+                    q.put(self.prepare_device_batch(graph_batch))
+            except BaseException as e:  # re-raised in the training thread
+                err.append(e)
+            finally:
+                q.put(stop)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -330,6 +353,8 @@ class FusionTrainer:
                 jnp.add, agg, info)
             n += 1
         thread.join()
+        if err:
+            raise err[0]
         if agg is None:  # zero-batch epoch (exhausted/degenerate sampler)
             return {}
         return {k: float(v) / n for k, v in agg.items()}
@@ -362,14 +387,7 @@ class FusionTrainer:
             params, spectral = self.params, self.spectral
             put = jnp.asarray
 
-        @jax.jit
-        def encode(params, spectral, image_patches, text, pad):
-            cls_x, _ = self.model.apply(
-                {"params": params, "spectral": spectral},
-                method=lambda mdl: mdl.m3ae.forward_representation(
-                    image_patches, text, pad, deterministic=True))
-            return cls_x[:, 0, :]
-
+        encode = self._encode_cls_jit
         reps = []
         for i in range(0, n, batch_size):
             ids = np.arange(i, min(i + batch_size, n))
@@ -384,32 +402,20 @@ class FusionTrainer:
         reps = jnp.asarray(np.concatenate(reps))
 
         edge_index, edge_type = edges_from_tasks(self.table.triples)
-
-        @jax.jit
-        def gcn(params, x, ei, et):
-            return self.model.apply(
-                {"params": params, "spectral": self.spectral}, x, ei, et,
-                method=self.model.gcn_forward_encoder)
-
-        return gcn(self.params, reps, jnp.asarray(edge_index, jnp.int32),
-                   jnp.asarray(edge_type, jnp.int32))
+        return self._gcn_jit(self.params, self.spectral, reps,
+                             jnp.asarray(edge_index, jnp.int32),
+                             jnp.asarray(edge_type, jnp.int32))
 
     def generate_rel_embeddings(self, batch_size: int = 64) -> jnp.ndarray:
         n = self.table.n_relations
-
-        @jax.jit
-        def encode(params, rel_des, pad):
-            return self.model.apply(
-                {"params": params, "spectral": self.spectral}, rel_des, pad,
-                method=self.model.forward_relation_emb)
-
+        encode = self._rel_encode_jit
         out = []
         for i in range(0, n, batch_size):
             ids = np.arange(i, min(i + batch_size, n))
             pad_n = batch_size - len(ids)
             ids_p = np.pad(ids, (0, pad_n), constant_values=ids[-1])
             out.append(np.asarray(encode(
-                self.params, jnp.asarray(self.store.rel_ids[ids_p]),
+                self.params, self.spectral, jnp.asarray(self.store.rel_ids[ids_p]),
                 jnp.asarray(self.store.rel_mask[ids_p])))[:len(ids)])
         return jnp.asarray(np.concatenate(out))
 
@@ -430,9 +436,14 @@ class FusionTrainer:
             emb_dim=self.cfg.emb_dim,
             transformer_emb_dim=token_embs.shape[-1], lr=lr, seed=seed)
         rng = np.random.default_rng(seed)
+        # gather on HOST numpy: an eager device gather with host indices is
+        # a blocking latency-bound dispatch per step on relay-attached chips
+        # (CLAUDE.md: never put random gathers in sequential hot loops)
+        token_np = np.asarray(token_embs)
+        teacher_np = np.asarray(teacher)
         for _ in range(steps):
             idx = rng.integers(0, n, batch_size)
-            params, opt_state, _ = step(params, opt_state, token_embs[idx], teacher[idx])
+            params, opt_state, _ = step(params, opt_state, token_np[idx], teacher_np[idx])
 
         def predict_unseen(rel_ids):
             te = embed_tokens(m3ae_params, jnp.asarray(self.store.rel_ids[np.asarray(rel_ids)]))
@@ -447,8 +458,55 @@ class FusionTrainer:
 
     def generate(self, rel_ids: np.ndarray, noise: jnp.ndarray) -> jnp.ndarray:
         """Generator head: relation descriptions ⊕ noise → embeddings."""
-        return self.model.apply(
-            {"params": self.params, "spectral": self.spectral},
+        return self._generate_jit(
+            self.params, self.spectral,
             jnp.asarray(self.store.rel_ids[rel_ids]),
-            jnp.asarray(self.store.rel_mask[rel_ids]), noise,
-            method=self.model.generate)
+            jnp.asarray(self.store.rel_mask[rel_ids]), noise)
+
+    # -- cached jits (one compiled program per trainer, reused across
+    # rounds: a fresh @jax.jit per call retraces and, through the remote-
+    # compile tunnel, recompiles a minutes-long M3AE program every fusion
+    # round) -------------------------------------------------------------
+
+    @functools.cached_property
+    def _encode_cls_jit(self):
+        @jax.jit
+        def encode(params, spectral, image_patches, text, pad):
+            cls_x, _ = self.model.apply(
+                {"params": params, "spectral": spectral},
+                method=lambda mdl: mdl.m3ae.forward_representation(
+                    image_patches, text, pad, deterministic=True))
+            return cls_x[:, 0, :]
+
+        return encode
+
+    @functools.cached_property
+    def _gcn_jit(self):
+        @jax.jit
+        def gcn(params, spectral, x, ei, et):
+            # spectral is an ARGUMENT, not a baked closure constant
+            return self.model.apply(
+                {"params": params, "spectral": spectral}, x, ei, et,
+                method=self.model.gcn_forward_encoder)
+
+        return gcn
+
+    @functools.cached_property
+    def _rel_encode_jit(self):
+        @jax.jit
+        def encode(params, spectral, rel_des, pad):
+            return self.model.apply(
+                {"params": params, "spectral": spectral}, rel_des, pad,
+                method=self.model.forward_relation_emb)
+
+        return encode
+
+    @functools.cached_property
+    def _generate_jit(self):
+        @jax.jit
+        def gen(params, spectral, rel_tok, rel_mask, noise):
+            return self.model.apply(
+                {"params": params, "spectral": spectral},
+                rel_tok, rel_mask, noise, method=self.model.generate)
+
+        return gen

@@ -53,6 +53,9 @@ class ZSLConfig:
     train_times: int = 1000
     D_epoch: int = 1
     G_epoch: int = 1
+    # kept for args.py parity; the reference builds ONE G_batch_size
+    # generator and feeds BOTH the D and G loops from it
+    # (zsl_module.py:401-409), so D_batch_size is inert upstream and here
     D_batch_size: int = 256
     G_batch_size: int = 256
     gan_batch_rela: int = 2
@@ -142,11 +145,6 @@ class ZSLModule:
         cfg = self.cfg
         extractor = self.extractor
         discriminator = self.discriminator
-
-        def embed_pairs(ex_params, symbols, pairs, meta, rng, deterministic=True):
-            return extractor.apply(
-                {"params": ex_params}, symbols, pairs, pairs, meta, meta,
-                deterministic, rngs=None if deterministic else {"dropout": rng})
 
         @jax.jit
         def pretrain_step(ex_params, opt_state, rng, symbols, support, query,
@@ -238,7 +236,6 @@ class ZSLModule:
             return optax.apply_updates(d_params, updates), d_spectral, opt_state, info
 
         self._d_step = d_step
-        self._embed_pairs = embed_pairs
 
     # -- Extractor pretraining (zsl_module.py:289-348) ----------------------
 
@@ -297,20 +294,29 @@ class ZSLModule:
             query, left, right, label = self.episodes.centroid_batch(rel)
             n = len(query)
             P = max(pad_to, 1)
-            if n > P:
-                query, left, right = query[:P], left[:P], right[:P]
-                n = P
-            pad = P - n
-            query = np.pad(query, ((0, pad), (0, 0)))
-            left = np.pad(left, (0, pad))
-            right = np.pad(right, (0, pad))
-            mask = np.zeros(P, bool)
-            mask[:n] = True
-            c = self._centroid_step(self.ex_params, self.symbol_table,
-                                    jnp.asarray(query),
-                                    self._meta(jnp.asarray(left), jnp.asarray(right)),
-                                    jnp.asarray(mask))
-            rows.append((label, np.asarray(c)))
+            # chunk over ALL of the relation's triples (the reference
+            # averages query_ep over every row, zsl_module.py:371-383) —
+            # truncating to one pad_to window would bias the centroid for
+            # relations with > pad_to training triples. Chunk means are
+            # count-weighted into the exact full mean.
+            acc = np.zeros(self.cfg.emb_dim, np.float64)
+            tot = 0
+            for off in range(0, max(n, 1), P):
+                q, l, r = query[off:off + P], left[off:off + P], right[off:off + P]
+                k = len(q)
+                pad = P - k
+                q = np.pad(q, ((0, pad), (0, 0)))
+                l = np.pad(l, (0, pad))
+                r = np.pad(r, (0, pad))
+                mask = np.zeros(P, bool)
+                mask[:k] = True
+                c = self._centroid_step(self.ex_params, self.symbol_table,
+                                        jnp.asarray(q),
+                                        self._meta(jnp.asarray(l), jnp.asarray(r)),
+                                        jnp.asarray(mask))
+                acc += np.asarray(c, np.float64) * k
+                tot += k
+            rows.append((label, (acc / max(tot, 1)).astype(np.float32)))
         centroid = np.zeros((self.label_num, self.cfg.emb_dim), np.float32)
         for label, c in rows:
             centroid[label] = c
@@ -397,14 +403,20 @@ class ZSLModule:
 
     def _generate(self, fusion_trainer, params, rel_ids, noise, update_sn=False):
         store = fusion_trainer.store
+        rel_tok = jnp.asarray(store.rel_ids[np.asarray(rel_ids)])
+        rel_mask = jnp.asarray(store.rel_mask[np.asarray(rel_ids)])
+        if not update_sn:
+            # pure path (D steps, eval): one cached jitted program on the
+            # fusion trainer — the eager apply ran the full M3AE text
+            # transformer op-by-op once per discriminator step
+            return fusion_trainer._generate_jit(params, fusion_trainer.spectral,
+                                                rel_tok, rel_mask, noise)
         model = fusion_trainer.model
         out, new_vars = model.apply(
             {"params": params, "spectral": fusion_trainer.spectral},
-            jnp.asarray(store.rel_ids[np.asarray(rel_ids)]),
-            jnp.asarray(store.rel_mask[np.asarray(rel_ids)]),
-            noise, update_sn, method=model.generate, mutable=["spectral"])
-        if update_sn:
-            fusion_trainer.spectral = new_vars["spectral"]
+            rel_tok, rel_mask, noise, update_sn,
+            method=model.generate, mutable=["spectral"])
+        fusion_trainer.spectral = new_vars["spectral"]
         return out
 
     def _run_d_step(self, fusion_trainer, g_params, batch):
@@ -567,15 +579,25 @@ class ZSLModule:
         for name in self.symbols.ent_names:
             ent_sym[self.e2id[name]] = self.symbols.symbol2id[name]
 
-        def _tables():
-            nbr = self.extractor.apply(
-                {"params": self.ex_params}, self.symbol_table, self.connections,
-                self.degrees, method=self.extractor.encode_neighbors)
-            return self.extractor.apply(
-                {"params": self.ex_params}, self.symbol_table, nbr,
-                jnp.asarray(ent_sym), method=self.extractor.precompute_pair_tables)
+        # Params, tables, and connections enter every eval jit as ARGUMENTS
+        # (never closure constants): each fusion round evaluates with fresh
+        # weights, and constants baked into the program would force a full
+        # retrace + recompile per round — minutes through the remote-compile
+        # tunnel (same anti-pattern ranking.link_prediction documents).
+        if not hasattr(self, "_tables_jit"):
+            extractor = self.extractor
 
-        L, R = jax.jit(_tables)()
+            @jax.jit
+            def _tables_jit(p, symbols, conns, degs, ent_sym):
+                nbr = extractor.apply({"params": p}, symbols, conns, degs,
+                                      method=extractor.encode_neighbors)
+                return extractor.apply({"params": p}, symbols, nbr, ent_sym,
+                                       method=extractor.precompute_pair_tables)
+
+            self._tables_jit = _tables_jit
+        L, R = self._tables_jit(self.ex_params, self.symbol_table,
+                                self.connections, self.degrees,
+                                jnp.asarray(ent_sym))
         cdt = jnp.dtype(compute_dtype)
         if cdt != jnp.float32:
             L, R = L.astype(cdt), R.astype(cdt)
@@ -583,19 +605,20 @@ class ZSLModule:
                                                     self.ex_params)
         else:
             ex_params_eval = self.ex_params
+        embed_args = (ex_params_eval, L, R)
+        extractor = self.extractor
 
-        @jax.jit
-        def embed(pairs, left, right):
-            emb = self.extractor.apply(
-                {"params": ex_params_eval}, L, R, left, right,
-                method=self.extractor.embed_pairs_factored)
+        def embed(ea, pairs, left, right):
+            p, L_, R_ = ea
+            emb = extractor.apply({"params": p}, L_, R_, left, right,
+                                  method=extractor.embed_pairs_factored)
             return emb.astype(jnp.float32)
 
-        def embed_block(heads, cands):
+        def embed_block(ea, heads, cands):
             # one head gather + distributed first matmul per query block
-            emb = self.extractor.apply(
-                {"params": ex_params_eval}, L, R, heads, cands,
-                method=self.extractor.embed_pairs_head_shared)
+            p, L_, R_ = ea
+            emb = extractor.apply({"params": p}, L_, R_, heads, cands,
+                                  method=extractor.embed_pairs_head_shared)
             return emb.astype(jnp.float32)
 
         if predict_unseen is not None:
@@ -609,25 +632,25 @@ class ZSLModule:
                                       rel_ids, self.test_noises)
 
         if eval_path == "rel_shared":
-            def embed_rel_block(heads, shared):
-                emb = self.extractor.apply(
-                    {"params": ex_params_eval}, L, R, heads, shared,
-                    method=self.extractor.embed_pairs_rel_shared)
+            def embed_rel_block(ea, heads, shared):
+                p, L_, R_ = ea
+                emb = extractor.apply({"params": p}, L_, R_, heads, shared,
+                                      method=extractor.embed_pairs_rel_shared)
                 return emb.astype(jnp.float32)
 
-            def embed_true(heads, trues):
-                emb = self.extractor.apply(
-                    {"params": ex_params_eval}, L, R, heads, trues,
-                    method=self.extractor.embed_pairs_factored)
+            def embed_true(ea, heads, trues):
+                p, L_, R_ = ea
+                emb = extractor.apply({"params": p}, L_, R_, heads, trues,
+                                      method=extractor.embed_pairs_factored)
                 return emb.astype(jnp.float32)
 
             return evaluate_zero_shot_rel_shared(
                 test_candidates, self.e2id, embed_rel_block, embed_true,
                 gen_rel_vecs, query_chunk=query_chunk, verbose=verbose,
-                return_ranks=return_ranks, mesh=mesh)
+                return_ranks=return_ranks, mesh=mesh, embed_args=embed_args)
 
         return evaluate_zero_shot(
             test_candidates, self.symbols.symbol2id, self.e2id, self.r2id,
             embed, gen_rel_vecs, query_chunk=query_chunk, verbose=verbose,
             embed_query_block=embed_block if eval_path == "head_shared" else None,
-            return_ranks=return_ranks)
+            return_ranks=return_ranks, embed_args=embed_args)
