@@ -40,6 +40,9 @@ C = 301                    # candidates per query (true + 300)
 Q_DEVICE = int(os.environ.get("BENCH_Q", "2048"))  # queries per program
 CHUNK = int(os.environ.get("BENCH_CHUNK", "128"))  # scan step width
 REPS = int(os.environ.get("BENCH_REPS", "10"))     # in-program repetitions
+if Q_DEVICE % CHUNK:
+    raise SystemExit(f"BENCH_Q={Q_DEVICE} must be a multiple of "
+                     f"BENCH_CHUNK={CHUNK} (scan over fixed-width chunks)")
 Q_BASELINE = 64            # queries timed on the torch-cpu reference path
 TEST_SAMPLE = 20
 
@@ -181,9 +184,13 @@ def run_device(symbols, connections, degrees, rel_vecs, heads, cands):
         return best
 
     results = {}
+    built = {}   # (dtype, path) -> (ranks_fn, timed_fn): the e2e section
+                 # reuses the compiled program instead of re-jitting it
+                 # (a rebuilt wrapper recompiles minutes of identical HLO
+                 # through the remote-compile tunnel)
     for dtype in ("float32", "bfloat16"):
         for path in ("factored", "head_shared", "rel_shared"):
-            ranks_fn, timed_fn = build(dtype, path)
+            ranks_fn, timed_fn = built[(dtype, path)] = build(dtype, path)
             cands_in = cands_r if path == "rel_shared" else cands_c
             log(f"device[{dtype}/{path}]: compiling...")
             ranks = np.asarray(jax.block_until_ready(ranks_fn(heads_c, cands_in)))
@@ -210,7 +217,7 @@ def run_device(symbols, connections, degrees, rel_vecs, heads, cands):
     #     rel-shared layout also shrinks the transfer itself: one shared
     #     candidate row per chunk instead of chunk copies (the production
     #     host pipeline streams exactly this).
-    ranks_fn, _ = build("bfloat16", "rel_shared")
+    ranks_fn, _ = built[("bfloat16", "rel_shared")]
     cands_r_np = np.ascontiguousarray(np.asarray(cands_r))
 
     def run_e2e():
@@ -393,7 +400,9 @@ def main():
         c = cert.get("paths", {}).get(key)
         if c is None:
             return False
-        return all(abs(c.get(f"d_{m}", 0.0)) < 5e-3
+        # the deltas must be PRESENT and small — a truncated/foreign cert
+        # entry with missing d_* keys is not evidence of fidelity
+        return all(f"d_{m}" in c and abs(c[f"d_{m}"]) < 5e-3
                    for m in ("hits10", "hits5", "mrr"))
 
     ref = res["f32_factored"]
