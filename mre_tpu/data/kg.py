@@ -172,6 +172,8 @@ class TripleTable:
 
     def contains(self, h, r, t) -> np.ndarray:
         keys = _pack(np.asarray(h), np.asarray(r), np.asarray(t), self.n_relations, self.n_entities)
+        if len(self.hrt_keys) == 0:   # zero-triple table: nothing is true
+            return np.zeros(keys.shape, bool)
         idx = np.searchsorted(self.hrt_keys, keys)
         idx = np.minimum(idx, len(self.hrt_keys) - 1)
         return self.hrt_keys[idx] == keys
@@ -289,8 +291,14 @@ class DeviceKG:
 
     def max_row_len(self) -> int:
         """Longest true-candidate row across both orientations (host int)."""
-        return int(max(int(jnp.max(jnp.diff(self.hr_offsets))),
-                       int(jnp.max(jnp.diff(self.tr_offsets))), 1))
+
+        def longest(offsets):
+            d = jnp.diff(offsets)
+            # compact-mode mirror of an empty table collapses offsets to
+            # shape (1,) — jnp.max over the empty diff would raise
+            return int(jnp.max(d)) if d.shape[0] else 0
+
+        return max(longest(self.hr_offsets), longest(self.tr_offsets), 1)
 
 
 # HBM budget above which the dense [E·R+1] device offset arrays give way to

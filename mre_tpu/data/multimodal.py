@@ -74,8 +74,12 @@ def make_tokenizer(name_or_path: str | None = None, vocab_size: int = 30522):
     if name_or_path:
         try:
             return HFTokenizer(name_or_path)
-        except Exception:
-            pass
+        except Exception as e:
+            import warnings
+            warnings.warn(
+                f"tokenizer {name_or_path!r} failed to load ({e!r}); falling "
+                "back to the hashing tokenizer — token ids will NOT match a "
+                "pretrained vocabulary", stacklevel=2)
     return HashingTokenizer(vocab_size)
 
 
@@ -83,6 +87,14 @@ def _decode_image(data: bytes) -> np.ndarray:
     from PIL import Image
 
     img = Image.open(io.BytesIO(data))
+    if img.mode in ("RGBA", "LA", "PA") or (img.mode == "P" and
+                                            "transparency" in img.info):
+        # blend onto white like skimage rgba2rgb (reference
+        # module/data.py:485-488) — a bare convert("RGB") drops alpha and
+        # keeps the stored RGB of transparent pixels
+        img = img.convert("RGBA")
+        bg = Image.new("RGBA", img.size, (255, 255, 255, 255))
+        img = Image.alpha_composite(bg, img)
     if img.mode != "RGB":
         img = img.convert("RGB")
     return np.asarray(img, np.uint8)
@@ -107,9 +119,19 @@ def random_resized_crop(rng: np.random.Generator, img: np.ndarray, out_size: int
             crop = img[top:top + ch, left:left + cw]
             break
     else:
-        side = min(h, w)
-        top, left = (h - side) // 2, (w - side) // 2
-        crop = img[top:top + side, left:left + side]
+        # torchvision fallback: clamp the aspect ratio to the bounds and
+        # center-crop (NOT a min-side square — differs on extreme aspects)
+        in_ratio = w / h
+        if in_ratio < ratio[0]:
+            cw = w
+            ch = int(round(cw / ratio[0]))
+        elif in_ratio > ratio[1]:
+            ch = h
+            cw = int(round(ch * ratio[1]))
+        else:
+            cw, ch = w, h
+        top, left = (h - ch) // 2, (w - cw) // 2
+        crop = img[top:top + ch, left:left + cw]
     pil = Image.fromarray(crop).resize((out_size, out_size), Image.BICUBIC)
     return np.asarray(pil, np.uint8)
 
@@ -215,12 +237,16 @@ class MultimodalStore:
         self._cache_size = s_out
         return _time.time() - t0
 
-    def _placeholder_image(self) -> np.ndarray:
+    @staticmethod
+    def _placeholder(rng: np.random.Generator, s: int) -> np.ndarray:
         """Scaled-Xavier noise image for text-only entities
-        (module/data.py:286-290: xavier_uniform(256,256,3) × 10)."""
-        s = self.config.image_size
-        limit = np.sqrt(6.0 / (s + 3))
-        return (self._rng.uniform(-limit, limit, (s, s, 3)) * 10.0).astype(np.float32)
+        (module/data.py:286-290: xavier_uniform_(empty(s, s, 3)) × 10).
+        torch's fan computation on an (s, s, 3) tensor is fan_in = fan_out
+        = 3s (dim0 = out maps, dim1 = in maps, trailing dims = receptive
+        field), so the bound is sqrt(6/(6s)) = 1/sqrt(s) — NOT the 2-D
+        sqrt(6/(s+3)) formula."""
+        limit = 1.0 / np.sqrt(s)
+        return (rng.uniform(-limit, limit, (s, s, 3)) * 10.0).astype(np.float32)
 
     def entity_images(self, node_ids: np.ndarray, train: bool = True,
                       workers: int = 8) -> np.ndarray:
@@ -231,7 +257,6 @@ class MultimodalStore:
 
         cfg = self.config
         node_ids = np.asarray(node_ids)
-        out = np.empty((len(node_ids), cfg.image_size, cfg.image_size, 3), np.float32)
         mean = np.asarray(self.image_mean, np.float32)
         std = np.asarray(self.image_std, np.float32)
         # per-slot RNG seeds drawn up front: thread-safe and order-deterministic.
@@ -262,13 +287,13 @@ class MultimodalStore:
                         c = c[:, ::-1]
                     crops[k] = c
                 else:
-                    limit = np.sqrt(6.0 / (osz + 3))
-                    holder.append((k, (rng.uniform(-limit, limit,
-                                                   (osz, osz, 3)) * 10.0)))
+                    holder.append((k, self._placeholder(rng, osz)))
             out = (crops.astype(np.float32) / 255.0 - mean) / std
             for k, ph in holder:
                 out[k] = ph
             return out
+
+        out = np.empty((len(node_ids), cfg.image_size, cfg.image_size, 3), np.float32)
 
         def work(k):
             i = node_ids[k]
@@ -280,9 +305,7 @@ class MultimodalStore:
                     img = img[:, ::-1]
                 out[k] = (img.astype(np.float32) / 255.0 - mean) / std
             else:
-                limit = np.sqrt(6.0 / (cfg.image_size + 3))
-                out[k] = (rng.uniform(-limit, limit,
-                                      (cfg.image_size, cfg.image_size, 3)) * 10.0)
+                out[k] = self._placeholder(rng, cfg.image_size)
 
         if workers > 1 and len(node_ids) > 4:
             with ThreadPoolExecutor(max_workers=workers) as pool:
@@ -305,6 +328,12 @@ class MultimodalStore:
         }
         if not self.config.text_only:
             batch["image"] = self.entity_images(node_ids, train)
+        if self.config.image_only:
+            # reference semantics (module/data.py:282-292): image_only skips
+            # text per node — drop the text arrays (relation descriptions
+            # are kept: the reference's `continue` only skips the node text)
+            batch.pop("text", None)
+            batch.pop("text_padding_mask", None)
         return batch
 
     def triple_batch(self, h_ids, r_ids, t_ids, train: bool = True) -> dict:

@@ -132,6 +132,27 @@ class Extractor(nn.Module):
         """Pair embeddings from the factored tables: [N] entity ids."""
         return self.support_encoder(L[left] + R[right], True)
 
+    def _distributed_support_encoder(self, A, B, residual):
+        """Shared body of the head/rel-shared fast paths: the SupportEncoder
+        with its first matmul already DISTRIBUTED over the L+R add
+        ((L+R)·W1 = L·W1 + R·W1), applied to pre-broadcast halves.
+
+        ``A`` and ``B`` are L·W1 / R·W1(+b1) terms broadcastable to the pair
+        block shape; ``residual`` is the pre-broadcast L+R sum. One inlined
+        LayerNorm copy (flax defaults: f32 stats, eps 1e-6) keeps the three
+        eval fast paths numerically identical to ``support_encoder`` —
+        change this body and the factored path together."""
+        p = self.support_encoder.variables["params"]
+        W2, b2 = p["proj2"]["kernel"], p["proj2"]["bias"]
+        ln = p["LayerNorm_0"]
+        h = nn.relu(A + B)
+        y = (h @ W2 + b2) + residual
+        y32 = y.astype(jnp.float32)
+        mu = jnp.mean(y32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(y32), axis=-1, keepdims=True) - jnp.square(mu)
+        norm = (y32 - mu) * jax.lax.rsqrt(var + 1e-6)
+        return (norm.astype(y.dtype) * ln["scale"] + ln["bias"])
+
     def embed_pairs_head_shared(self, L, R, left, right):
         """Pair embeddings for per-query candidate blocks: left [Q] head
         entity ids, right [Q, C] candidate ids → [Q, C, D].
@@ -146,21 +167,10 @@ class Extractor(nn.Module):
         experiments/results/eval_roofline.json)."""
         p = self.support_encoder.variables["params"]
         W1, b1 = p["proj1"]["kernel"], p["proj1"]["bias"]
-        W2, b2 = p["proj2"]["kernel"], p["proj2"]["bias"]
-        ln = p["LayerNorm_0"]
         Lr = L[left]                                   # [Q, D]
         Rr = R[right]                                  # [Q, C, D]
-        A = Lr @ W1                                    # [Q, 2D]
-        B = Rr @ W1 + b1                               # [Q, C, 2D]
-        h = nn.relu(A[:, None, :] + B)
-        out = h @ W2 + b2                              # [Q, C, D]
-        y = out + (Lr[:, None, :] + Rr)                # residual
-        # inline LayerNorm (flax default: f32 stats, eps 1e-6)
-        y32 = y.astype(jnp.float32)
-        mu = jnp.mean(y32, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(y32), axis=-1, keepdims=True) - jnp.square(mu)
-        norm = (y32 - mu) * jax.lax.rsqrt(var + 1e-6)
-        return (norm.astype(y.dtype) * ln["scale"] + ln["bias"])
+        return self._distributed_support_encoder(
+            (Lr @ W1)[:, None, :], Rr @ W1 + b1, Lr[:, None, :] + Rr)
 
     def embed_pairs_rel_shared(self, L, R, left, right):
         """Pair embeddings for a SHARED candidate list: left [Q] head entity
@@ -179,20 +189,11 @@ class Extractor(nn.Module):
         matmul + pointwise (~4·D² vs 8·D²)."""
         p = self.support_encoder.variables["params"]
         W1, b1 = p["proj1"]["kernel"], p["proj1"]["bias"]
-        W2, b2 = p["proj2"]["kernel"], p["proj2"]["bias"]
-        ln = p["LayerNorm_0"]
         Lr = L[left]                                   # [Q, D]
         Rr = R[right]                                  # [C, D]
-        A = Lr @ W1                                    # [Q, 2D]
-        B = Rr @ W1 + b1                               # [C, 2D]  (shared)
-        h = nn.relu(A[:, None, :] + B[None, :, :])     # [Q, C, 2D]
-        out = h @ W2 + b2                              # [Q, C, D]
-        y = out + (Lr[:, None, :] + Rr[None, :, :])    # residual
-        y32 = y.astype(jnp.float32)
-        mu = jnp.mean(y32, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(y32), axis=-1, keepdims=True) - jnp.square(mu)
-        norm = (y32 - mu) * jax.lax.rsqrt(var + 1e-6)
-        return (norm.astype(y.dtype) * ln["scale"] + ln["bias"])
+        return self._distributed_support_encoder(
+            (Lr @ W1)[:, None, :], (Rr @ W1 + b1)[None, :, :],
+            Lr[:, None, :] + Rr[None, :, :])
 
 
 class Discriminator(nn.Module):

@@ -152,3 +152,18 @@ def test_image_cache_fast_path(tmp_path):
         np.testing.assert_allclose(
             store.entity_images(text_only, train=False),
             fresh.entity_images(text_only, train=False), rtol=1e-6)
+
+
+def test_placeholder_image_matches_torch_xavier_bound():
+    """torch xavier_uniform_ on an (s, s, 3) tensor has fan_in = fan_out =
+    3s -> bound 1/sqrt(s); x10 scaling per module/data.py:286-290."""
+    import numpy as np
+
+    from mre_tpu.data.multimodal import MultimodalStore
+
+    s = 64
+    img = MultimodalStore._placeholder(np.random.default_rng(0), s)
+    bound = 10.0 / np.sqrt(s)
+    assert img.shape == (s, s, 3)
+    assert np.abs(img).max() <= bound
+    assert np.abs(img).max() > 0.9 * bound

@@ -37,3 +37,15 @@ def test_bernoulli_stats(tiny_kg):
         rm = len(tri_r) / len(np.unique(tri_r[:, 2]))
         assert np.isclose(t.left_mean[r], lm)
         assert np.isclose(t.right_mean[r], rm)
+
+
+def test_zero_triple_table_degenerates_gracefully():
+    """Empty tables must answer queries, not crash: contains -> all False,
+    max_row_len -> 1 in both dense and compact layouts."""
+    from mre_tpu.data.kg import DeviceKG, TripleTable
+
+    t = TripleTable.build(np.zeros((0, 3), np.int32), 10, 3)
+    assert not t.contains(np.array([1]), np.array([0]), np.array([2])).any()
+    for compact in (False, True):
+        kg = DeviceKG.from_table(t, compact=compact)
+        assert kg.max_row_len() == 1
