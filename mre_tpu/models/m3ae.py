@@ -81,14 +81,17 @@ class M3AE(nn.Module):
         self.text_mask_embedding = self.param(
             "text_mask_embedding", emb_init, (1, 1, cfg.dec_emb_dim))
         dtype = jnp.dtype(cfg.get("compute_dtype", "float32"))
+        att_impl = cfg.get("attention_impl", "auto")
         self.encoder = Transformer(
             emb_dim=cfg.emb_dim, depth=cfg.depth, att_drop=cfg.att_drop,
             drop=cfg.drop, drop_path=cfg.drop_path, num_heads=cfg.num_heads,
-            mlp_ratio=cfg.mlp_ratio, dtype=dtype, name="encoder")
+            mlp_ratio=cfg.mlp_ratio, dtype=dtype, attention_impl=att_impl,
+            name="encoder")
         self.decoder = Transformer(
             emb_dim=cfg.dec_emb_dim, depth=cfg.dec_depth, att_drop=cfg.att_drop,
             drop=cfg.drop, drop_path=cfg.drop_path, num_heads=cfg.dec_num_heads,
-            mlp_ratio=cfg.mlp_ratio, dtype=dtype, name="decoder")
+            mlp_ratio=cfg.mlp_ratio, dtype=dtype, attention_impl=att_impl,
+            name="decoder")
         self.decoder_input_projection = nn.Dense(
             cfg.dec_emb_dim, kernel_init=nn.initializers.xavier_uniform(),
             name="decoder_input_projection")
@@ -243,15 +246,16 @@ def load_cc12m_checkpoint(path: str, params: dict) -> dict:
     src = data["state"].params["params"]
     out = jax.tree_util.tree_map(lambda x: x, params)  # copy structure
 
-    def copy_into(dst: dict, key: str, value):
-        dst[key] = jnp.asarray(np.asarray(value), dst[key].dtype) if key in dst else value
-
     for name in ("cls_token", "encoder_image_type_embedding", "encoder_text_type_embedding",
                  "image_mask_embedding", "text_mask_embedding",
                  "decoder_image_type_embedding", "decoder_text_type_embedding"):
         if name in src and name in out:
-            out[name] = jnp.asarray(np.asarray(src[name]))
+            # cast to the initialized leaf's dtype: a bf16-saved checkpoint
+            # must not smuggle mixed dtypes into an f32 parameter tree
+            out[name] = jnp.asarray(np.asarray(src[name]), out[name].dtype)
     for name in ("image_embedding", "text_embedding", "encoder"):
         if name in src and name in out:
-            out[name] = jax.tree_util.tree_map(lambda x: jnp.asarray(np.asarray(x)), src[name])
+            out[name] = jax.tree_util.tree_map(
+                lambda x, d: jnp.asarray(np.asarray(x), d.dtype),
+                src[name], out[name])
     return out

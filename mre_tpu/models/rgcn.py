@@ -29,7 +29,9 @@ class RGCNConv(nn.Module):
     def __call__(self, x, edge_index, edge_type, num_nodes=None, edge_mask=None):
         """x: [N, in]; edge_index: [2, E] (src, dst) local ids;
         edge_type: [E]; edge_mask: [E] bool for padded edge slots."""
-        N = num_nodes or x.shape[0]
+        # explicit None test: `or` would both misread num_nodes=0 and raise
+        # an opaque ConcretizationTypeError on a traced value
+        N = x.shape[0] if num_nodes is None else num_nodes
         E = edge_index.shape[1]
         glorot = nn.initializers.xavier_uniform()
         basis = self.param("basis", glorot, (self.num_bases, self.in_channels, self.out_channels))

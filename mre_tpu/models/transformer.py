@@ -7,7 +7,7 @@ Dense_0|1 / TransformerMLP_0.fc1|fc2; cf. the reference's flax→torch mapping
 in module/utils.py:271-346, which this rebuild loads natively).
 
 Masking convention follows the reference: ``padding_mask`` is 1.0 at PAD
-positions and attention adds −1e7 there before softmax
+positions and attention replaces the logit with −1e7 there before softmax (where-select, submodule.py:176)
 (module/submodule.py:174-177).
 
 Repaired reference defects (SURVEY.md §7): the ``MLP`` head applies a real
@@ -36,7 +36,10 @@ class LayerNormalization(nn.Module):
     def __call__(self, z):
         a_2 = self.param("a_2", nn.initializers.ones, (self.d_hid,))
         b_2 = self.param("b_2", nn.initializers.zeros, (self.d_hid,))
-        if z.shape[-1] == 1:
+        if z.ndim >= 2 and z.shape[1] == 1:
+            # reference guard is on AXIS 1 (module/submodule.py:69
+            # z.size(1) == 1), which coincides with the feature axis only
+            # for 2-D inputs — keep the exact semantics
             return z
         mu = jnp.mean(z, axis=-1, keepdims=True)
         var = jnp.sum((z - mu) ** 2, axis=-1, keepdims=True) / (z.shape[-1] - 1)
@@ -65,10 +68,11 @@ class TransformerMLP(nn.Module):
     out_dim: int = 256
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    hidden_ratio: int = 4
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = nn.Dense(4 * self.dim, name="fc1", dtype=self.dtype,
+        x = nn.Dense(self.hidden_ratio * self.dim, name="fc1", dtype=self.dtype,
                      kernel_init=nn.initializers.xavier_uniform())(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
@@ -146,18 +150,22 @@ class Block(nn.Module):
     drop: float = 0.0
     drop_path: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    attention_impl: str = "auto"
 
     @nn.compact
     def __call__(self, inputs, deterministic: bool = True, padding_mask=None):
         # LayerNorms stay float32; matmul-heavy submodules run in `dtype`.
         x = nn.LayerNorm()(inputs)
         x = Attention(self.emb_dim, self.num_heads, True, self.att_drop,
-                      self.drop, dtype=self.dtype)(x, deterministic, padding_mask)
+                      self.drop, dtype=self.dtype,
+                      attention_impl=self.attention_impl)(
+            x, deterministic, padding_mask)
         x = DropPath(self.drop_path)(x, deterministic)
         inputs = inputs + x
         x = nn.LayerNorm()(inputs)
         x = TransformerMLP(self.emb_dim, self.emb_dim, self.drop,
-                           dtype=self.dtype)(x, deterministic)
+                           dtype=self.dtype, hidden_ratio=self.mlp_ratio)(
+            x, deterministic)
         x = DropPath(self.drop_path)(x, deterministic)
         return inputs + x
 
@@ -171,13 +179,15 @@ class Transformer(nn.Module):
     num_heads: int = 16
     mlp_ratio: int = 4
     dtype: jnp.dtype = jnp.float32
+    attention_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True, padding_mask=None):
         for _ in range(self.depth):
             x = Block(self.emb_dim, self.num_heads, self.mlp_ratio,
                       self.att_drop, self.drop, self.drop_path,
-                      dtype=self.dtype)(x, deterministic, padding_mask)
+                      dtype=self.dtype, attention_impl=self.attention_impl)(
+                x, deterministic, padding_mask)
         return nn.LayerNorm()(x)
 
 
