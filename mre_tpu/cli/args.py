@@ -49,6 +49,9 @@ def read_options(argv=None):
     parser.add_argument("--emb_dim", default=200, type=int)
     # WGAN generation part
     parser.add_argument("--test_sample", default=20, type=int)
+    # flag-parity only: the reference's no_meta eval branch is dead code
+    # (zsl_module.py:690-704 never assigns `scores` when meta=False, so the
+    # first no-meta query raises NameError upstream) — accepted, inert here
     parser.add_argument("--no_meta", action="store_true")
     parser.add_argument("--max_neighbor", default=50, type=int)
     parser.add_argument("--noise_dim", default=15, type=int)

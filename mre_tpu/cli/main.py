@@ -53,6 +53,7 @@ def build_pipeline(args):
         text_all_token_loss=args.text_all_token_loss,
         lr_maximum=args.lr_maximum, lr_minimum=args.lr_minimum,
         lr_warmup_epochs=args.lr_warmup_epochs, epochs=args.epochs,
+        accumulate_grad_steps=args.accumulate_grad_steps,
         seed=args.seed, text_only=args.text_only,
         compute_dtype=getattr(args, "compute_dtype", "float32"))
     fusion = FusionTrainer(table, store, fusion_cfg)
@@ -77,7 +78,7 @@ def build_pipeline(args):
     zsl_cfg = ZSLConfig(
         emb_dim=args.emb_dim, noise_dim=args.noise_dim,
         test_sample=args.test_sample, max_neighbor=args.max_neighbor,
-        pretrain_margin=3.0,
+        pretrain_margin=args.pretrain_margin,
         pretrain_times=args.pretrain_times,
         pretrain_batch_size=args.pretrain_batch_size,
         pretrain_few=args.pretrain_few,
@@ -101,8 +102,6 @@ def run_zsl_round(args, fusion, zsl, logger, dump_embeddings: bool = False):
     if dump_embeddings:
         # evaluate-mode embedding dumps (reference main.py:328-331)
         import pickle
-
-        import numpy as np
 
         out_dir = getattr(args, "output_dir", ".") or "."
         os.makedirs(out_dir, exist_ok=True)
@@ -134,8 +133,12 @@ def main(args):
 
     ckpt_dir = f"./saved_models/{args.dataset}"
     print("Start Fusion Training!")
-    for epoch in range(args.start_epoch, args.epochs):
-        if args.profile_dir and epoch == args.start_epoch:
+    # reference semantics (main.py:123-125): train exactly args.epochs
+    # epochs; start_epoch is a LABEL offset for resumed runs, not a range
+    # start (range(start_epoch, epochs) would silently shorten training)
+    for raw_epoch in range(args.epochs):
+        epoch = raw_epoch + args.start_epoch
+        if args.profile_dir and raw_epoch == 0:
             from mre_tpu.core.profiling import trace
 
             with trace(args.profile_dir):

@@ -9,8 +9,6 @@ loop over candidate lists.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -30,6 +28,11 @@ def evaluate_structural(test_candidates: dict, ent_embs, rel_embs,
     ent = np.asarray(ent_embs, np.float32)
     rel = np.asarray(rel_embs, np.float32)
     dim = ent.shape[1]
+    n_queries = sum(len(q) for q in test_candidates.values())
+    if n_queries == 0:
+        # a misloaded/empty candidates file must fail loudly, not emit NaN
+        # metrics (same contract as ranking.link_prediction)
+        raise ValueError("evaluate_structural: no evaluable queries")
 
     c_max = 1
     for queries in test_candidates.values():
@@ -53,8 +56,9 @@ def evaluate_structural(test_candidates: dict, ent_embs, rel_embs,
                 cands = queries[key]
                 heads[qi] = ent[e2id[head]]
                 rels[qi] = rel[r2id[rname]]
-                for ci, c in enumerate(cands):
-                    tails[qi, ci] = ent[e2id[c]]
+                idx = np.fromiter((e2id[c] for c in cands), np.int64,
+                                  count=len(cands))
+                tails[qi, :len(cands)] = ent[idx]   # one gather, not C copies
                 mask[qi, :len(cands)] = True
             scores = _transe_candidate_scores(
                 jnp.asarray(heads), jnp.asarray(rels), jnp.asarray(tails))
@@ -62,6 +66,10 @@ def evaluate_structural(test_candidates: dict, ent_embs, rel_embs,
                                                lower_is_better=True))
             ranks_rel.extend(ranks[:len(chunk_keys)].tolist())
 
+        if not ranks_rel:   # relation with zero queries: report n=0, no NaN
+            per_relation[rel_name] = dict(mrr=0.0, hits1=0.0, hits3=0.0,
+                                          hits10=0.0, n=0)
+            continue
         r = np.asarray(ranks_rel, np.float64)
         per_relation[rel_name] = dict(
             mrr=float(np.mean(1 / r)), hits1=float(np.mean(r <= 1)),

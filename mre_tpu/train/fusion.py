@@ -79,6 +79,9 @@ class FusionConfig:
     lr_maximum: float = 1e-4
     lr_minimum: float = 0.0
     lr_warmup_epochs: int = 5
+    # enters the warm-restart period like the reference (main.py:107:
+    # T_0 = lr_warmup_epochs * steps_per_epoch // accumulate_grad_steps)
+    accumulate_grad_steps: int = 1
     epochs: int = 200
     seed: int = 192
     text_only: bool = False
@@ -122,7 +125,8 @@ class FusionTrainer:
 
         schedule = cosine_warm_restarts(
             cfg.lr_maximum, cfg.lr_minimum,
-            t0=max(cfg.lr_warmup_epochs * self.steps_per_epoch, 1),
+            t0=max(cfg.lr_warmup_epochs * self.steps_per_epoch
+                   // max(cfg.accumulate_grad_steps, 1), 1),
             total_steps=cfg.epochs * self.steps_per_epoch + 1)
         self.tx = optax.adam(schedule)
         self.opt_state = self.tx.init(self.params)

@@ -104,7 +104,17 @@ class EpisodeSampler:
             noise = candidates[self.rng.integers(len(candidates))]
             if noise in e2id and noise not in known and noise != tri[2]:
                 return noise
-        return candidates[self.rng.integers(len(candidates))]
+        # exhausted: fall back to the exact pre-filtered valid subset — an
+        # unvalidated candidate here could KeyError downstream (not in e2id)
+        # or silently hand a known-TRUE tail to training as a "false" pair
+        valid = [c for c in candidates
+                 if c in e2id and c not in known and c != tri[2]]
+        if valid:
+            return valid[self.rng.integers(len(valid))]
+        # degenerate pool (every candidate true/unknown): keep the reference's
+        # infinite-loop semantics bounded — return the least-harmful option
+        in_vocab = [c for c in candidates if c in e2id]
+        return in_vocab[self.rng.integers(len(in_vocab))] if in_vocab else tri[2]
 
     # -- Extractor pretraining episodes (utils.py:548-613) ------------------
 
