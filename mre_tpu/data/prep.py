@@ -41,15 +41,30 @@ def frequency_split(triples_by_rel: dict, n_unseen: int = 40,
             for h, _, t in rows:
                 seen_entities.add(h)
                 seen_entities.add(t)
+    # incremental coverage counts: cover[e] = #still-seen relations (fixed
+    # seen set counts once, plus one per remaining candidate) covering e.
+    # Accepting r decrements its entities; r is acceptable iff removing it
+    # leaves every one of its entities covered. Same invariant as the
+    # O(|candidates|²·triples) rebuild, in one pass over the triples.
+    from collections import Counter
+
+    cover: Counter = Counter()
+    for e in seen_entities:
+        cover[e] += 1
+    cand_ents = {}
+    for r in candidates:
+        ents = {e for row in triples_by_rel[r] for e in (row[0], row[2])}
+        cand_ents[r] = ents
+        for e in ents:
+            cover[e] += 1
     unseen = []
     for r in candidates:
         if len(unseen) >= n_unseen:
             break
-        ents = {e for row in triples_by_rel[r] for e in (row[0], row[2])}
-        others = seen_entities | {e for rr in candidates if rr != r and rr not in unseen
-                                  for row in triples_by_rel[rr] for e in (row[0], row[2])}
-        if ents <= others:
+        if all(cover[e] > 1 for e in cand_ents[r]):
             unseen.append(r)
+            for e in cand_ents[r]:
+                cover[e] -= 1
     unseen = set(unseen)
     train = {r: v for r, v in triples_by_rel.items() if r not in unseen}
     test = {r: v for r, v in triples_by_rel.items() if r in unseen}
@@ -57,14 +72,18 @@ def frequency_split(triples_by_rel: dict, n_unseen: int = 40,
 
 
 def train_valid_split(tasks: dict, ratio: float = 0.95, seed: int = 0):
-    """Per-relation train/valid split (utils/splitdata.py)."""
+    """GLOBAL train/valid split (utils/splitdata.py:25-32): every relation's
+    triples are pooled, shuffled once, and the last (1−ratio) fraction
+    becomes valid — NOT a per-relation split (a small relation may land
+    entirely on either side, exactly like the reference's global
+    random.shuffle + 1/20 cut)."""
     rng = random.Random(seed)
+    flat = [(r, list(row)) for r, rows in tasks.items() for row in rows]
+    rng.shuffle(flat)
+    split = int(len(flat) - len(flat) * (1.0 - ratio))
     train, valid = {}, {}
-    for r, rows in tasks.items():
-        rows = list(rows)
-        rng.shuffle(rows)
-        k = int(len(rows) * ratio)
-        train[r], valid[r] = rows[:k], rows[k:]
+    for i, (r, row) in enumerate(flat):
+        (train if i < split else valid).setdefault(r, []).append(row)
     return train, valid
 
 

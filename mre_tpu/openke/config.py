@@ -125,6 +125,13 @@ class Tester:
         lib.importTestFiles()
         if type_constrain:
             lib.importTypeFiles()
+            if not lib.hasTypes():
+                # mirror the device path's fail-fast: a silent zero-metric
+                # tc eval on a missing/corrupt file is worse than an error
+                raise FileNotFoundError(
+                    f"type_constrain=True but {self.data_loader.in_path}"
+                    "type_constrain.txt is missing or malformed "
+                    "(sampler.so rejected it)")
         lib.initTest()
         for index, (data_head, data_tail) in enumerate(self.data_loader):
             score = np.ascontiguousarray(self.model.predict(data_head), np.float32)

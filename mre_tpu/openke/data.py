@@ -184,12 +184,14 @@ class TrainDataLoader:
             import jax.numpy as jnp
 
             self._key, sub2 = jax.random.split(self._key)
-            if self.p and self.filter:
-                # kl_prob-weighted filtered variant (Corrupt.h:86-134 p=true).
-                # Mirrors the native corrupt_rel_impl exactly: with
-                # filter_flag=false the prob table is IGNORED and corruption
-                # is uniform excluding r (sampler.cpp:149-153), so p only
-                # takes effect on the filtered branch below.
+            # Base.cpp parity quirk (Base.cpp:91 + 104-146): the reference's
+            # training sampler reads filter_flag but never passes it to the
+            # corrupt_* calls — batch corruption is ALWAYS exact-filtered and
+            # p always honored. Both backends mirror that here; the
+            # standalone corruptRel ABI hook still honors filter_flag
+            # (Corrupt.h semantics).
+            if self.p:
+                # kl_prob-weighted filtered variant (Corrupt.h:86-134 p=true)
                 neg_r = np.asarray(sampling.corrupt_relations_prob(
                     sub2, self.kg, jnp.asarray(np.asarray(nb.h)),
                     jnp.asarray(np.asarray(nb.t)), jnp.asarray(np.asarray(nb.r)),
@@ -198,7 +200,7 @@ class TrainDataLoader:
                 neg_r = np.asarray(sampling.corrupt_relations(
                     sub2, self.kg, jnp.asarray(np.asarray(nb.r)), self.neg_rel,
                     h=jnp.asarray(np.asarray(nb.h)), t=jnp.asarray(np.asarray(nb.t)),
-                    filter_flag=self.filter))
+                    filter_flag=True))
             h = np.concatenate([h] + [np.asarray(nb.h)] * self.neg_rel)
             t = np.concatenate([t] + [np.asarray(nb.t)] * self.neg_rel)
             r = np.concatenate([r] + [neg_r[:, k] for k in range(self.neg_rel)])

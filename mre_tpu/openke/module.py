@@ -159,6 +159,8 @@ class DistMult(Model):
         super().__init__(ent_tot, rel_tot, seed=seed, dim=dim,
                          margin=margin, epsilon=epsilon)
 
+    _l3_fn = staticmethod(K.distmult_l3_regularization)
+
     def l3_regularization(self):
         return K.distmult_l3_regularization(self.params)
 
@@ -204,6 +206,8 @@ class HolE(Model):
     def __init__(self, ent_tot, rel_tot, dim=100, margin=None, epsilon=None, seed=0):
         super().__init__(ent_tot, rel_tot, seed=seed, dim=dim,
                          margin=margin, epsilon=epsilon)
+
+    _l3_fn = staticmethod(K.hole_l3_regularization)
 
     def l3_regularization(self):
         return K.hole_l3_regularization(self.params)
@@ -266,11 +270,10 @@ class NegativeSampling:
         value = self.loss(p, n)
         if self.regul_rate:
             value = value + self.regul_rate * self.model._fn.regularization(params, h, r, t)
-        if self.l3_regul_rate and hasattr(self.model, "l3_regularization"):
-            if self.model.model_name == "distmult":
-                value = value + self.l3_regul_rate * K.distmult_l3_regularization(params)
-            else:
-                value = value + self.l3_regul_rate * K.hole_l3_regularization(params)
+        if self.l3_regul_rate and getattr(self.model, "_l3_fn", None) is not None:
+            # the model declares its own functional regularizer — no
+            # name-based dispatch to drift when a third model gains one
+            value = value + self.l3_regul_rate * self.model._l3_fn(params)
         return value
 
     def __call__(self, data):

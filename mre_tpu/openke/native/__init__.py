@@ -46,4 +46,5 @@ def load() -> ctypes.CDLL:
     lib.corruptTypeTail.argtypes = [ctypes.c_int64] * 2
     lib.corruptTypeTail.restype = ctypes.c_int64
     lib.hasProb.restype = ctypes.c_int64
+    lib.hasTypes.restype = ctypes.c_int64
     return lib

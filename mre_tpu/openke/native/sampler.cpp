@@ -124,6 +124,7 @@ INT corrupt_filtered(INT tid, INT anchor, INT r, bool keep_head) {
     auto rhi = std::upper_bound(index.begin() + lo, index.begin() + hi, r,
                                 [](INT rr, const Triple& a) { return rr < a.r; });
     INT k = (INT)(rhi - rlo);
+    if (k >= S.entity_total) return anchor;  // every entity true: degenerate
     std::uniform_int_distribution<INT> dist(0, S.entity_total - k - 1);
     INT u = dist(S.rngs[tid]);
     // count excluded values s_i (sorted) with s_i - i <= u
@@ -137,6 +138,7 @@ INT corrupt_filtered(INT tid, INT anchor, INT r, bool keep_head) {
 }
 
 INT corrupt_unfiltered(INT tid, INT self) {
+    if (S.entity_total <= 1) return self;    // single-entity KG: UB guard
     std::uniform_int_distribution<INT> dist(0, S.entity_total - 2);
     INT v = dist(S.rngs[tid]);
     return v < self ? v : v + 1;
@@ -358,12 +360,27 @@ void importTypeFiles() {
     if (fscanf(f, "%lld", &n) != 1) { fclose(f); return; }
     for (long long i = 0; i < 2 * n; i++) {
         long long rel = 0, cnt = 0;
-        if (fscanf(f, "%lld%lld", &rel, &cnt) != 2) break;
+        if (fscanf(f, "%lld%lld", &rel, &cnt) != 2) {
+            fprintf(stderr, "sampler.so: truncated type_constrain.txt "
+                            "(entry %lld of %lld)\n", i, 2 * n);
+            fclose(f);
+            return;  // refuse the partial table (has_types stays false)
+        }
         std::vector<INT> ids(cnt);
+        bool ok = true;
         for (long long j = 0; j < cnt; j++) {
             long long e;
-            if (fscanf(f, "%lld", &e) != 1) break;
+            if (fscanf(f, "%lld", &e) != 1) { ok = false; break; }
             ids[j] = (INT)e;
+        }
+        if (!ok || rel < 0 || rel >= S.relation_total) {
+            // a stale/mismatched file must never index out of bounds or
+            // leave the token stream desynced — reject the whole table
+            fprintf(stderr, "sampler.so: bad type_constrain.txt entry "
+                            "(rel %lld of %lld relations)\n",
+                    rel, (long long)S.relation_total);
+            fclose(f);
+            return;
         }
         std::sort(ids.begin(), ids.end());
         // lines alternate: head candidates then tail candidates per relation
@@ -402,7 +419,8 @@ void sampling(INT* batch_h, INT* batch_t, INT* batch_r, REAL* batch_y,
     auto worker = [&](INT tid) {
         INT chunk = (batch_size + n_threads - 1) / n_threads;
         INT lef = tid * chunk, rig = std::min(batch_size, (tid + 1) * chunk);
-        std::uniform_int_distribution<INT> pick(0, S.train_total - 1);
+        std::uniform_int_distribution<INT> pick(0, std::max<INT>(S.train_total, 1) - 1);
+        if (S.train_total <= 0) return;      // nothing to sample
         std::uniform_real_distribution<double> unif(0.0, 1.0);
         for (INT b = lef; b < rig; b++) {
             const Triple& tr = S.train[pick(S.rngs[tid])];
@@ -418,13 +436,18 @@ void sampling(INT* batch_h, INT* batch_t, INT* batch_r, REAL* batch_y,
                 } else {
                     replace_tail = mode != -1;
                 }
+                // Base.cpp parity quirk: the reference reads filter_flag
+                // into a local (Base.cpp:91) but every corrupt_* call uses
+                // the default filter_flag=true — training corruption is
+                // ALWAYS exact-filtered and p always honored, regardless of
+                // the flag. The standalone corruptRel/corruptTypeTail ABI
+                // hooks still honor filter_flag (Corrupt.h semantics).
+                (void)filter_flag;
                 if (replace_tail) {
                     batch_h[b + last] = tr.h;
-                    batch_t[b + last] = filter_flag ? corrupt_filtered(tid, tr.h, tr.r, true)
-                                                    : corrupt_unfiltered(tid, tr.t);
+                    batch_t[b + last] = corrupt_filtered(tid, tr.h, tr.r, true);
                 } else {
-                    batch_h[b + last] = filter_flag ? corrupt_filtered(tid, tr.t, tr.r, false)
-                                                    : corrupt_unfiltered(tid, tr.h);
+                    batch_h[b + last] = corrupt_filtered(tid, tr.t, tr.r, false);
                     batch_t[b + last] = tr.t;
                 }
                 batch_r[b + last] = tr.r;
@@ -434,7 +457,7 @@ void sampling(INT* batch_h, INT* batch_t, INT* batch_r, REAL* batch_y,
             for (INT k = 0; k < neg_rel_rate; k++) {
                 batch_h[b + last] = tr.h;
                 batch_t[b + last] = tr.t;
-                batch_r[b + last] = corrupt_rel_impl(tid, tr.h, tr.t, tr.r, p, filter_flag);
+                batch_r[b + last] = corrupt_rel_impl(tid, tr.h, tr.t, tr.r, p, true);
                 batch_y[b + last] = -1;
                 last += batch_size;
             }
@@ -458,6 +481,7 @@ INT corruptTypeTail(INT h, INT r) {
 }
 
 INT hasProb() { return S.has_prob ? 1 : 0; }
+INT hasTypes() { return S.has_types ? 1 : 0; }
 
 void initTest() {
     l_raw = l_filt = r_raw = r_filt = Accum{};

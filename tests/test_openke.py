@@ -255,10 +255,12 @@ def test_train_loader_p_flag_imports_prob(bench_dir, native_lib):
     assert not (neg_r == pos_r).any()
 
 
-def test_jax_backend_p_without_filter_is_uniform_unfiltered(bench_dir):
-    """p=True + filter_flag=0 must mirror the native corrupt_rel_impl: the
-    prob table is ignored and corruption is uniform excluding only the
-    positive r (sampler.cpp:149-153) — not silently filtered+weighted."""
+def test_jax_backend_p_ignores_filter_flag_like_base_cpp(bench_dir):
+    """Base.cpp parity quirk: the reference's sampling worker reads
+    filter_flag (Base.cpp:91) but never passes it to corrupt_* — batch
+    corruption is ALWAYS filtered and p always honored. filter_flag=0 must
+    therefore produce the same filtered+weighted relation negatives as
+    filter_flag=1 on both backends."""
     from mre_tpu.openke.data import TrainDataLoader
 
     R = 6
@@ -273,6 +275,15 @@ def test_jax_backend_p_without_filter_is_uniform_unfiltered(bench_dir):
     B = dev.batch_size
     pos_r = db["batch_r"][:B]
     neg_r = db["batch_r"][2 * B:]
-    # unfiltered semantics: never the positive relation itself, always in range
     assert not (neg_r == pos_r).any()
     assert (neg_r >= 0).all() and (neg_r < dev.get_rel_tot()).all()
+    # filtered semantics even with filter_flag=0: no negative forms a true
+    # (h, rr, t) train triple
+    from mre_tpu.data.kg import TripleTable
+    from mre_tpu.openke.data import read_benchmark
+    bench = read_benchmark(bench_dir)
+    table = TripleTable.build(bench["train"], bench["n_entities"],
+                              bench["n_relations"])
+    h = db["batch_h"][2 * B:]
+    t = db["batch_t"][2 * B:]
+    assert not table.contains(h, neg_r, t).any()

@@ -23,11 +23,18 @@ def test_seen_unseen_split():
 
 
 def test_train_valid_split():
+    """Reference semantics (utils/splitdata.py): ONE global shuffle and a
+    global holdout — totals are exact, per-relation counts are random."""
     tasks = make_tasks()
     train, valid = prep.train_valid_split(tasks, ratio=0.8)
-    for r in tasks:
-        assert len(train[r]) + len(valid[r]) == len(tasks[r])
-        assert len(train[r]) == 16
+    total = sum(len(v) for v in tasks.values())
+    n_train = sum(len(v) for v in train.values())
+    n_valid = sum(len(v) for v in valid.values())
+    assert n_train + n_valid == total
+    assert n_train == int(total - total * 0.2)
+    flat = {tuple(t) for rows in tasks.values() for t in rows}
+    out = {tuple(t) for d in (train, valid) for rows in d.values() for t in rows}
+    assert out == flat
 
 
 def test_id_maps_and_e1rel_e2():
