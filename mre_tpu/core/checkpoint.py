@@ -45,8 +45,14 @@ def latest_checkpoint(directory: str, prefix: str) -> str | None:
     best, best_step = None, -1
     for name in os.listdir(directory):
         if name.startswith(prefix) and not name.endswith(".meta.json"):
-            digits = "".join(c for c in name[len(prefix):] if c.isdigit())
-            step = int(digits) if digits else 0
+            # parse only the LEADING digit run after the prefix: digits in a
+            # model-name suffix (epoch2_v2.ckpt) must not concatenate into
+            # the step and outrank a genuinely newer checkpoint
+            rest = name[len(prefix):]
+            i = 0
+            while i < len(rest) and rest[i].isdigit():
+                i += 1
+            step = int(rest[:i]) if i else 0
             if step > best_step:
                 best, best_step = os.path.join(directory, name), step
     return best

@@ -31,8 +31,10 @@ class NeighborSampler:
         self.shuffle = shuffle
         self._rng = np.random.default_rng(seed)
 
-        # CSR over incident edges (both directions, like PyG's sampler
-        # over dst) — we index by destination node.
+        # CSR over INCOMING edges only (indexed by destination) — parity
+        # with the reference's PyG NeighborSampler over a graph built
+        # WITHOUT inverse edges (module/data.py:161): out-edges of a seed
+        # are reached only when the seed is some sampled edge's source.
         dst = self.edge_index[1]
         order = np.argsort(dst, kind="stable")
         self._edges_by_dst = order
@@ -67,9 +69,10 @@ class NeighborSampler:
         src = self.edge_index[0, e_id]
         dst = self.edge_index[1, e_id]
         n_id = np.unique(np.concatenate([seeds, src, dst]))
-        local = {g: l for l, g in enumerate(n_id)}
-        src_l = np.asarray([local[g] for g in src], np.int32)
-        dst_l = np.asarray([local[g] for g in dst], np.int32)
+        # n_id is sorted (np.unique): global→local is a vectorized
+        # searchsorted, not a Python dict walk (host hot path, 1-core box)
+        src_l = np.searchsorted(n_id, src).astype(np.int32)
+        dst_l = np.searchsorted(n_id, dst).astype(np.int32)
 
         n_pad = self.n_max - len(n_id)
         e_pad = self.e_max - len(e_id)

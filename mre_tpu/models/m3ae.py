@@ -43,9 +43,15 @@ def m3ae_config(model_type: str = "small", updates: dict | None = None) -> Confi
         image_mask_ratio=0.75,
         text_mask_ratio=0.75,
         compute_dtype="float32",    # "bfloat16" runs matmuls on the MXU in bf16
+        attention_impl="auto",      # auto | pallas | xla (transformer.py)
     ))
     cfg.update(transformer_preset(model_type))
     if updates:
+        unknown = set(updates) - set(cfg)
+        if unknown:
+            # a typo'd override must not silently leave the real default in
+            # force (Config.make discipline, core/config.py)
+            raise KeyError(f"unknown m3ae config keys: {sorted(unknown)}")
         cfg.update(updates)
     return cfg
 

@@ -48,8 +48,12 @@ def unified_config(model_type: str = "small", updates: dict | None = None) -> Co
         contrastive=True,
         norm_rel_emb=False,
         compute_dtype="float32",     # forwarded to the M3AE stack (bf16 MXU)
+        attention_impl="auto",       # forwarded to the M3AE transformers
     ))
     if updates:
+        unknown = set(updates) - set(cfg)
+        if unknown:
+            raise KeyError(f"unknown unified config keys: {sorted(unknown)}")
         cfg.update(updates)
     return cfg
 
@@ -64,7 +68,8 @@ class UnifiedModel(nn.Module):
         m3ae_cfg = m3ae_config(cfg.model_type, dict(
             image_mask_ratio=cfg.image_mask_ratio,
             text_mask_ratio=cfg.text_mask_ratio,
-            compute_dtype=cfg.get("compute_dtype", "float32")))
+            compute_dtype=cfg.get("compute_dtype", "float32"),
+            attention_impl=cfg.get("attention_impl", "auto")))
         self.reduced_dim = m3ae_cfg.emb_dim
         self.dim = cfg.emb_dim
         self.m3ae = M3AE(
