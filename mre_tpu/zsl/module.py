@@ -520,6 +520,34 @@ class ZSLModule:
 
         return run, g_params, g_opt_state
 
+    # -- analysis helper (zsl_module.py:757-790) ------------------------------
+
+    def generate_entity_pair_emb(self, relations):
+        """Per-relation Extractor embeddings of each test triple's entity
+        pair — the reference's embedding-space inspection helper (never
+        called by main.py; provided for API parity). Returns
+        (list of [n_i, D] arrays, flat relation labels, []).
+
+        Reference quirk kept: query_right uses tri[0] (the HEAD) for both
+        sides (zsl_module.py:776-777), so the neighbor meta is head-sided
+        twice — reproduced verbatim."""
+        s2 = self.symbols.symbol2id
+        out_embs, out_rels = [], []
+        for rel in relations:
+            triples = self.test_tasks.get(rel, [])
+            if not triples:
+                continue
+            pairs = np.asarray([[s2[t[0]], s2[t[2]]] for t in triples], np.int32)
+            left = jnp.asarray([self.e2id[t[0]] for t in triples], jnp.int32)
+            right = jnp.asarray([self.e2id[t[0]] for t in triples], jnp.int32)
+            meta = self._meta(left, right)
+            emb, _ = self.extractor.apply(
+                {"params": self.ex_params}, self.symbol_table,
+                jnp.asarray(pairs), jnp.asarray(pairs), meta, meta, True)
+            out_embs.append(np.asarray(emb))
+            out_rels += [rel] * len(triples)
+        return out_embs, out_rels, []
+
     # -- persistence (zsl_module.py:205-207, 751-755) -------------------------
 
     def save(self, save_path: str, fusion_trainer=None):

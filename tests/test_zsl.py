@@ -339,3 +339,17 @@ def test_rel_shared_counts_duplicate_candidates():
         ts = score(h, cands[0])
         expected.append(1 + sum(score(h, c) >= ts for c in cands[1:]))
     np.testing.assert_array_equal(out["ranks"], expected)
+
+
+def test_generate_entity_pair_emb(setup):
+    """Analysis helper (zsl_module.py:757-790): one [n, D] block per test
+    relation, labels flattened in order."""
+    _, data, fusion, zsl = setup
+    rels = list(zsl.test_tasks)[:2]
+    embs, labels, tgt = zsl.generate_entity_pair_emb(rels)
+    assert len(embs) == len([r for r in rels if zsl.test_tasks[r]])
+    n_total = sum(e.shape[0] for e in embs)
+    assert len(labels) == n_total and tgt == []
+    for e in embs:
+        assert e.shape[1] == zsl.cfg.emb_dim
+        assert np.isfinite(e).all()
