@@ -40,13 +40,15 @@ def embed_tokens(m3ae_params: dict, tokens: jnp.ndarray) -> jnp.ndarray:
     """Frozen text-embedding + text type embedding lookup from M3AE params
     (module/DistillModel.py:27-32)."""
     table = m3ae_params["text_embedding"]["embedding"]
-    type_emb = m3ae_params["encoder_text_type_embedding"]
+    # absent when the M3AE was built with use_type_embedding=False — treat
+    # as 0 exactly like M3AE._type_emb does
+    type_emb = m3ae_params.get("encoder_text_type_embedding", 0.0)
     return jax.lax.stop_gradient(table[tokens] + type_emb)
 
 
 def make_distill_trainer(emb_dim: int, transformer_emb_dim: int, lr: float = 1e-4,
                          seed: int = 0):
-    """Returns (model, params, jitted step, jitted predict)."""
+    """Returns (model, params, opt_state, jitted step, jitted predict)."""
     import optax
 
     model = DistillModel(emb_dim=emb_dim, transformer_emb_dim=transformer_emb_dim)

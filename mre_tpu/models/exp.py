@@ -15,7 +15,6 @@ import jax.numpy as jnp
 
 from mre_tpu.core.config import Config
 from mre_tpu.models.m3ae import M3AE, m3ae_config
-from mre_tpu.ops import losses as L
 
 
 class ExpModel(nn.Module):
@@ -27,7 +26,6 @@ class ExpModel(nn.Module):
         m3ae_cfg = m3ae_config(cfg.model_type, dict(
             image_mask_ratio=cfg.image_mask_ratio,
             text_mask_ratio=cfg.text_mask_ratio))
-        self.reduced_dim = m3ae_cfg.emb_dim
         self.dim = cfg.emb_dim
         self.m3ae = M3AE(
             text_vocab_size=self.text_vocab_size,
@@ -84,13 +82,10 @@ class ExpModel(nn.Module):
             enc_cls, image_x, text_x, image_ids_restore, text_ids_restore,
             batch["text_padding_mask_head"], deterministic)
 
-        if image_x is not None and text_x is not None:
-            loss_c, c_acc = L.contrastive_loss(image_x.mean(axis=1),
-                                               text_x.mean(axis=1), bidirect=False)
-        else:
-            loss_c, c_acc = 0.0, 0.0
-
+        # Reference quirk kept (model.py:780-786): ExpModel computes loss_c
+        # but hard-codes contrastive_loss=0.0 in batch_output (dead code
+        # upstream) — the no-GCN ablation never trains a contrastive term.
         batch_output = dict(image_output=image_output, text_output=text_output,
                             image_mask=image_mask, text_mask=text_mask,
-                            contrastive_loss=loss_c, contrastive_accuracy=c_acc)
+                            contrastive_loss=0.0, contrastive_accuracy=0.0)
         return x_head, x_tail, rel_emb, batch_output

@@ -28,6 +28,9 @@ def get_1d_sincos_pos_embed(embed_dim: int, length: int) -> np.ndarray:
 
 
 def _from_grid_1d(embed_dim: int, pos: np.ndarray) -> np.ndarray:
+    # reference asserts this (model.py:113); an odd dim would silently emit
+    # an (L, embed_dim-1) array that only fails later inside a jitted add
+    assert embed_dim % 2 == 0, f"sincos embed_dim must be even, got {embed_dim}"
     omega = np.arange(embed_dim // 2, dtype=np.float64) / (embed_dim / 2.0)
     omega = 1.0 / 10000 ** omega
     out = np.einsum("m,d->md", pos.reshape(-1).astype(np.float64), omega)

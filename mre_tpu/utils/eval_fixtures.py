@@ -22,8 +22,13 @@ def generate_fix_samples(triples: np.ndarray, num_nodes: int, out_path: str,
                          neg_ent: int = 1, seed: int = 0, max_batches: int | None = None):
     """Freeze neighbor-sampled eval batches with expanded negative lists to a
     JSON file with the reference's sub_<mode>_samples.json schema."""
+    from mre_tpu.data.kg import TripleTable
+
     rng = np.random.default_rng(seed)
+    triples = np.asarray(triples)
     edge_index, edge_type = edges_from_tasks(triples)
+    n_rel = int(triples[:, 1].max()) + 1 if len(triples) else 1
+    table = TripleTable.build(triples, num_nodes, n_rel)
     sampler = NeighborSampler(edge_index, edge_type, num_nodes,
                               size=sample_size, batch_size=batch_size, seed=seed)
     saved = {}
@@ -34,14 +39,31 @@ def generate_fix_samples(triples: np.ndarray, num_nodes: int, out_path: str,
         src, dst = batch["edge_index"][0], batch["edge_index"][1]
         et = batch["edge_type"]
         n_valid = int(batch["node_mask"].sum())
-        # expand with neg_ent corrupted heads/tails per edge (local uniform)
-        exp_src, exp_dst, exp_et = [list(src[:valid_e])], [list(dst[:valid_e])], [list(et[:valid_e])]
+        # expand with neg_ent corrupted heads/tails per edge, FILTERED like
+        # the reference path (generate_eval_list routes through
+        # NegativeSampling's np.in1d-filtered sampler): a negative must not
+        # form a true triple, equal the true entity, or — for head
+        # corruptions — collide with the true head (which would misroute
+        # the head/tail branch in subgraph_to_candidates)
+        g = np.asarray(batch["n_id"])
+        src_v, dst_v, et_v = src[:valid_e], dst[:valid_e], et[:valid_e]
+        src_g, dst_g = g[src_v], g[dst_v]
+        exp_src, exp_dst, exp_et = [list(src_v)], [list(dst_v)], [list(et_v)]
         for _ in range(neg_ent):
             corrupt_tail = rng.random(valid_e) < 0.5
-            rand_nodes = rng.integers(0, max(n_valid, 1), valid_e)
-            exp_src.append(list(np.where(corrupt_tail, src[:valid_e], rand_nodes)))
-            exp_dst.append(list(np.where(corrupt_tail, rand_nodes, dst[:valid_e])))
-            exp_et.append(list(et[:valid_e]))
+            rand = rng.integers(0, max(n_valid, 1), valid_e)
+            for _ in range(20):
+                cand_g = g[rand]
+                bad = np.where(
+                    corrupt_tail,
+                    table.contains(src_g, et_v, cand_g) | (cand_g == dst_g),
+                    table.contains(cand_g, et_v, dst_g) | (cand_g == src_g))
+                if not bad.any():
+                    break
+                rand = np.where(bad, rng.integers(0, max(n_valid, 1), valid_e), rand)
+            exp_src.append(list(np.where(corrupt_tail, src_v, rand)))
+            exp_dst.append(list(np.where(corrupt_tail, rand, dst_v)))
+            exp_et.append(list(et_v))
         saved[str(step)] = {
             "step": step,
             "batch_size": int(valid_e),
