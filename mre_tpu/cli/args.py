@@ -15,7 +15,7 @@ def read_options(argv=None):
     parser.add_argument("--model_type", default="small", type=str)
     parser.add_argument("--compute_dtype", default="float32", type=str,
                         help="M3AE matmul dtype; bfloat16 targets the TPU MXU")
-    parser.add_argument("--eval_path", default="head_shared", type=str,
+    parser.add_argument("--eval_path", default="rel_shared", type=str,
                         choices=["factored", "head_shared", "rel_shared"],
                         help="zero-shot ranking body (ZSLModule.evaluate): "
                              "rel_shared amortizes the candidate gather + "

@@ -120,7 +120,7 @@ def run_zsl_round(args, fusion, zsl, logger, dump_embeddings: bool = False):
             rel_embs, steps=getattr(args, "distill_steps", 2000))
     result = zsl.evaluate(fusion, mode="test", predict_unseen=predict_unseen,
                           compute_dtype=getattr(args, "compute_dtype", "float32"),
-                          eval_path=getattr(args, "eval_path", "head_shared"))
+                          eval_path=getattr(args, "eval_path", "rel_shared"))
     logger.log({f"zsl_{k}": v for k, v in result.items() if isinstance(v, (int, float))})
     return result
 
