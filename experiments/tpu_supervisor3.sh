@@ -64,6 +64,25 @@ babysit() {  # babysit <pid> <logfile> — wait for exit; kill if log stalls
   return 0
 }
 
+backend_up() {  # quick 1+1 probe; a wedged tunnel times out == down.
+  # flock serializes against the tunnel_watchdog probe — two concurrent
+  # axon clients are themselves a wedge trigger.
+  flock /tmp/axon_probe.lock \
+    timeout 240 env PYTHONPATH=/root/repo:/root/.axon_site JAX_PLATFORMS=axon \
+    python -c "import jax; jax.numpy.add(1,1)" >/dev/null 2>&1
+}
+
+park_queue() {  # backend outage: park EVERYTHING in hold/ so retries don't
+  # burn against a dead tunnel (round-4 lesson: 30_transr burned all 8).
+  # The tunnel watchdog restores hold/*.job once a probe succeeds.
+  mkdir -p "$Q/hold"
+  mv "$Q"/*.job "$Q/hold/" 2>/dev/null
+  log "backend down: parked $(ls "$Q/hold/"*.job 2>/dev/null | wc -l) jobs in hold/"
+  if ! ps aux | awk '{print $NF}' | grep -q tunnel_watchdog.sh; then
+    log "WARNING: no tunnel_watchdog.sh running; hold/ will not auto-restore"
+  fi
+}
+
 run_job() {  # run_job <jobfile>
   local jobf="$1" name; name=$(basename "$jobf" .job)
   local RESULT="" logf="/tmp/q_${name}.log"
@@ -85,7 +104,16 @@ run_job() {  # run_job <jobfile>
     CMD >> "$logf" 2>&1 &
     local pid=$!
     echo "$pid" > /tmp/q_current.pid
-    babysit "$pid" "$logf" || continue
+    if ! babysit "$pid" "$logf"; then
+      # stall-kill: distinguish "this job wedged" from "the backend is down"
+      # — outage retries must not count (VERDICT r4 weak #2)
+      if ! backend_up; then
+        park_queue
+        STALL_S="$saved_stall"
+        return
+      fi
+      continue
+    fi
     wait "$pid" 2>/dev/null
     if [ ! -f "$RESULT" ] && [ $(( $(date +%s) - t_launch )) -lt 120 ]; then
       fastfails=$((fastfails + 1))

@@ -1,17 +1,23 @@
 #!/bin/bash
-# Backend-outage watchdog (round 4): while the axon backend is UNAVAILABLE,
+# Backend-outage watchdog (round 5): while the axon backend is UNAVAILABLE,
 # the queue is parked in experiments/queue/hold/ so jobs don't burn their 8
-# retries against a dead tunnel. This loop waits until no supervisor job is
-# live, probes the backend with a tiny 1+1 (single client, short timeout),
-# and restores the queue once the probe succeeds.
+# retries against a dead tunnel (the supervisor parks it on stall+probe-fail).
+# This loop runs PERSISTENTLY: whenever hold/ has jobs and no supervisor job
+# is live, it probes the backend with a tiny 1+1 (single client, short
+# timeout) and restores the queue on success — then keeps watching, so a
+# re-outage mid-drain gets re-restored too. DEADLINE is a hard stop only.
 set -u
 cd "$(dirname "$0")/.."
 Q=experiments/queue
-DEADLINE=${DEADLINE:-$(( $(date +%s) + 8 * 3600 ))}
+DEADLINE=${DEADLINE:-$(( $(date +%s) + 48 * 3600 ))}
 
 log() { echo "[watchdog $(date +%H:%M:%S)] $*"; }
 
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do
+  if ! ls "$Q"/hold/*.job >/dev/null 2>&1; then
+    sleep 300   # nothing parked; queue (if any) is draining normally
+    continue
+  fi
   pid=$(cat /tmp/q_current.pid 2>/dev/null || true)
   if [ -n "$pid" ] && kill -0 "$pid" 2>/dev/null; then
     log "supervisor job (pid $pid) still live; waiting"
@@ -19,15 +25,18 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
     continue
   fi
   log "probing axon backend..."
-  if timeout 240 env PYTHONPATH=/root/repo:/root/.axon_site JAX_PLATFORMS=axon \
+  # flock serializes against the supervisor's backend_up probe — two
+  # concurrent axon clients are themselves a wedge trigger.
+  if flock /tmp/axon_probe.lock \
+      timeout 240 env PYTHONPATH=/root/repo:/root/.axon_site JAX_PLATFORMS=axon \
       python -c "import jax; print('probe ok:', jax.numpy.add(1,1))" \
       >> /tmp/watchdog_probe.log 2>&1; then
     log "backend healthy; restoring queue"
     mv "$Q"/hold/*.job "$Q"/ 2>/dev/null
     log "restored: $(ls "$Q"/*.job 2>/dev/null | wc -l) jobs"
-    exit 0
+    continue
   fi
   log "probe failed; backend still down"
   sleep 420
 done
-log "deadline reached without recovery"
+log "deadline reached; watchdog exiting"
