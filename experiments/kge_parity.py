@@ -308,10 +308,14 @@ def main(argv=None):
     dataset = os.path.basename(os.path.normpath(args.in_path))
     key = cfg.model + ("_adv" if cfg.adv_temperature else "")
     published = PUBLISHED.get((key, dataset))
+    import jax
     row = {
         "recipe": args.recipe, "dataset": dataset, "model": cfg.model,
         "train_times": cfg.train_times, "eval_seconds": round(eval_s, 1),
         "published_hits10": published, "seed": args.seed,
+        # accuracy cells are platform-independent; wall-times are not —
+        # outage-time CPU-lane rows must say so (round-5 policy)
+        "platform": jax.default_backend(),
     }
     if args.eval_only and start_epoch < cfg.train_times:
         # Deadline-harvest of an unfinished run: metrics are from the last
