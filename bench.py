@@ -375,7 +375,83 @@ def load_trained_cert():
         return None
 
 
+AXON_CLIENT_LOCK = "/tmp/axon_client.lock"
+
+
+def _backend_reachable() -> bool:
+    """Probe the default backend in a short-timeout subprocess. A wedged
+    axon tunnel hangs ``jax.devices()`` indefinitely (the round-4
+    MULTICHIP_r04 rc=124 failure mode) — the bench process itself must
+    never initialize a backend it hasn't probed."""
+    import subprocess
+    try:
+        # flock: serialize with the watchdog/supervisor probes — two
+        # concurrent axon clients are themselves a wedge trigger. The inner
+        # `timeout -k` kills the hung python itself: a subprocess-level
+        # timeout would only kill flock and orphan the wedged client.
+        proc = subprocess.run(
+            ["flock", "-w", "120", AXON_CLIENT_LOCK, "timeout", "-k", "5",
+             "240", sys.executable, "-c", "import jax; jax.numpy.add(1, 1)"],
+            env=dict(os.environ), capture_output=True, timeout=420)
+        return proc.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
+def _acquire_axon_client_lock(wait_s=900):
+    """Single-client discipline for the axon tunnel: two concurrent clients
+    wedge it (observed round 3/4). Every long-lived client — supervisor
+    queue jobs, this bench — holds /tmp/axon_client.lock for its lifetime.
+    The bench is the round's headline artifact, so it PREEMPTS a running
+    queue job (all jobs checkpoint/resume) and then takes the lock; the
+    supervisor's relaunch waits politely on the same lock."""
+    import fcntl
+    import signal
+    try:
+        with open("/tmp/q_current.pid") as f:
+            job_pid = int(f.read().strip())
+        os.kill(job_pid, 0)  # raises if dead
+        log(f"bench: preempting supervisor job pid {job_pid} (it will resume)")
+        try:
+            os.killpg(os.getpgid(job_pid), signal.SIGTERM)
+        except (ProcessLookupError, PermissionError):
+            os.kill(job_pid, signal.SIGTERM)
+        time.sleep(10)
+    except (OSError, ValueError):
+        pass  # no live queue job
+    fh = open(AXON_CLIENT_LOCK, "a")
+    deadline = time.time() + wait_s
+    while True:
+        try:
+            fcntl.flock(fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            return fh  # held (and released) with the process
+        except OSError:
+            if time.time() > deadline:
+                log("bench: axon client lock still busy; proceeding anyway")
+                return fh
+            log("bench: waiting for axon client lock...")
+            time.sleep(15)
+
+
 def main():
+    # Outage fallback: if the axon backend is unreachable, re-exec on the
+    # host CPU with a reduced workload instead of hanging/failing — the
+    # emitted JSON then carries platform/outage disclosure fields. An
+    # explicitly requested non-axon platform is honored as-is.
+    if ("axon" in os.environ.get("JAX_PLATFORMS", "axon")
+            and os.environ.get("BENCH_CPU_FALLBACK") != "1"):
+        if _backend_reachable():
+            globals()["_LOCK_FH"] = _acquire_axon_client_lock()
+        else:
+            log("bench: axon backend unreachable; falling back to CPU "
+                "(reduced workload, disclosed in the JSON)")
+            env = dict(os.environ, JAX_PLATFORMS="cpu",
+                       PALLAS_AXON_POOL_IPS="", BENCH_CPU_FALLBACK="1")
+            env.setdefault("BENCH_Q", "128")
+            env.setdefault("BENCH_CHUNK", "128")
+            env.setdefault("BENCH_REPS", "2")
+            os.execve(sys.executable,
+                      [sys.executable, os.path.abspath(__file__)], env)
     workload = make_workload()
     res = run_device(*workload)
     # headline = fastest path whose METRICS agree with the f32 factored
@@ -425,12 +501,20 @@ def main():
     except Exception as e:  # torch unavailable → report raw throughput
         log(f"baseline failed: {e}")
         baseline, vs = None, float("nan")
+    import jax
     print(json.dumps({
         "metric": "zsl_candidate_ranking_throughput",
         "value": round(tput, 1),
         "unit": "triples/sec",
         "vs_baseline": round(vs, 2) if vs == vs else None,
         "path": head_key,
+        "platform": jax.default_backend(),
+        # set when the axon backend was unreachable and the bench re-execed
+        # itself on the host CPU with a reduced workload: the value is then
+        # NOT a TPU number (MFU fields are vs the v5e peak and meaningless)
+        "backend_outage_cpu_fallback":
+            os.environ.get("BENCH_CPU_FALLBACK") == "1",
+        "bench_q": Q_DEVICE, "bench_reps": REPS,
         "achieved_tflops": round(head["achieved_tflops"], 2),
         "mfu": round(head["mfu"], 4),
         "flops_per_triple": PATH_FLOPS[head_key.split("_", 1)[1]],

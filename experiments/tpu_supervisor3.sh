@@ -65,9 +65,9 @@ babysit() {  # babysit <pid> <logfile> — wait for exit; kill if log stalls
 }
 
 backend_up() {  # quick 1+1 probe; a wedged tunnel times out == down.
-  # flock serializes against the tunnel_watchdog probe — two concurrent
-  # axon clients are themselves a wedge trigger.
-  flock /tmp/axon_probe.lock \
+  # flock serializes against every other axon client (watchdog probe,
+  # bench.py, queue jobs) — two concurrent axon clients wedge the tunnel.
+  flock -w 600 /tmp/axon_client.lock \
     timeout 240 env PYTHONPATH=/root/repo:/root/.axon_site JAX_PLATFORMS=axon \
     python -c "import jax; jax.numpy.add(1,1)" >/dev/null 2>&1
 }
@@ -101,7 +101,15 @@ run_job() {  # run_job <jobfile>
     log "launch $name (try $tries) -> $logf"
     touch "$logf"
     t_launch=$(date +%s)
-    CMD >> "$logf" 2>&1 &
+    # hold the axon client lock for the job's lifetime: bench.py preempts a
+    # job (kill + resume later) and takes this lock; the relaunch then waits
+    # here POLITELY — the echo keeps the log fresh so babysit doesn't
+    # stall-kill a job that is merely queued behind the bench.
+    ( while ! flock -n 9; do
+        echo "[job] axon client lock busy (bench or probe live); waiting"
+        sleep 60
+      done
+      CMD ) 9>>/tmp/axon_client.lock >> "$logf" 2>&1 &
     local pid=$!
     echo "$pid" > /tmp/q_current.pid
     if ! babysit "$pid" "$logf"; then

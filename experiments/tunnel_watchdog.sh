@@ -25,9 +25,16 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
     continue
   fi
   log "probing axon backend..."
-  # flock serializes against the supervisor's backend_up probe — two
-  # concurrent axon clients are themselves a wedge trigger.
-  if flock /tmp/axon_probe.lock \
+  # flock serializes against every other axon client (supervisor probe,
+  # queue jobs, bench.py) — two concurrent axon clients wedge the tunnel.
+  # -w 5: if another client holds the lock the tunnel is in LEGITIMATE use;
+  # skip this probe cycle rather than queueing a second client behind it.
+  if ! flock -w 5 /tmp/axon_client.lock true; then
+    log "client lock busy (another axon client live); skipping probe"
+    sleep 120
+    continue
+  fi
+  if flock -w 60 /tmp/axon_client.lock \
       timeout 240 env PYTHONPATH=/root/repo:/root/.axon_site JAX_PLATFORMS=axon \
       python -c "import jax; print('probe ok:', jax.numpy.add(1,1))" \
       >> /tmp/watchdog_probe.log 2>&1; then
