@@ -199,7 +199,11 @@ def main(argv=None):
               f"{n_triples / dt:,.0f} triples/s (hits10 {r['hits10']:.4f})",
               flush=True)
 
+    import jax
+    # accuracy is platform-independent; wall-times/throughputs are not —
+    # outage-time CPU rows must self-document (round-5 policy)
     row = dict(dataset=dataset, stats=stats, wall_seconds=round(wall, 1),
+               platform=jax.default_backend(),
                n_ranked_triples=n_triples, rank_runs=rank_runs,
                settings=dict(epochs=args.epochs,
                              pretrain_times=args.pretrain_times,
