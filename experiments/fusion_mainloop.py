@@ -189,8 +189,12 @@ def main(argv=None):
     print(f"[mainloop] resume max|delta| after replayed epoch: {resume_delta:.3e}",
           flush=True)
 
+    import jax
     steps = args.epochs * fusion.steps_per_epoch
     row = dict(
+        # accuracy/resume claims are platform-independent; wall-times are
+        # not — outage-time CPU rows must self-document (round-5 policy)
+        platform=jax.default_backend(),
         epochs=args.epochs, save_epochs=args.save_epochs,
         model_type=args.model_type, image_size=args.image_size,
         compute_dtype=args.compute_dtype,
