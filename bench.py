@@ -378,24 +378,60 @@ def load_trained_cert():
 AXON_CLIENT_LOCK = "/tmp/axon_client.lock"
 
 
-def _backend_reachable() -> bool:
+def _backend_reachable(have_lock: bool = False) -> bool:
     """Probe the default backend in a short-timeout subprocess. A wedged
     axon tunnel hangs ``jax.devices()`` indefinitely (the round-4
     MULTICHIP_r04 rc=124 failure mode) — the bench process itself must
-    never initialize a backend it hasn't probed."""
+    never initialize a backend it hasn't probed.
+
+    ``have_lock``: when this process already holds the axon client lock
+    (acquired or inherited), the probe must NOT re-flock the lock file —
+    flock is per open-file-description, so a fresh open would block on our
+    own held lock and mis-read "busy" as "backend down" (the round-5
+    bench_r5 CPU-fallback bug)."""
     import subprocess
     try:
-        # flock: serialize with the watchdog/supervisor probes — two
-        # concurrent axon clients are themselves a wedge trigger. The inner
-        # `timeout -k` kills the hung python itself: a subprocess-level
-        # timeout would only kill flock and orphan the wedged client.
-        proc = subprocess.run(
-            ["flock", "-w", "120", AXON_CLIENT_LOCK, "timeout", "-k", "5",
-             "240", sys.executable, "-c", "import jax; jax.numpy.add(1, 1)"],
-            env=dict(os.environ), capture_output=True, timeout=420)
+        # The inner `timeout -k` kills the hung python itself: a
+        # subprocess-level timeout would only kill flock and orphan the
+        # wedged client.
+        cmd = ["timeout", "-k", "5", "240", sys.executable, "-c",
+               "import jax; jax.numpy.add(1, 1)"]
+        if not have_lock:
+            # flock: serialize with the watchdog/supervisor probes — two
+            # concurrent axon clients are themselves a wedge trigger.
+            cmd = ["flock", "-w", "120", AXON_CLIENT_LOCK] + cmd
+        proc = subprocess.run(cmd, env=dict(os.environ),
+                              capture_output=True, timeout=420)
         return proc.returncode == 0
     except (subprocess.TimeoutExpired, OSError):
         return False
+
+
+def _inherited_lock_fd():
+    """The supervisor's job wrapper holds the axon client lock on fd 9 for
+    the job's lifetime (tpu_supervisor3.sh:108-112). When this bench runs AS
+    a queue job it inherits that fd and therefore already owns the lock —
+    acquiring it again (or preempting "the current job", which is ourselves)
+    would deadlock/self-kill."""
+    try:
+        if os.readlink("/proc/self/fd/9") == AXON_CLIENT_LOCK:
+            return 9
+    except OSError:
+        pass
+    return None
+
+
+def _ancestor_pids():
+    anc, p = set(), os.getpid()
+    while p > 1:
+        anc.add(p)
+        try:
+            with open(f"/proc/{p}/status") as st:
+                p = int(next(ln for ln in st
+                             if ln.startswith("PPid:")).split()[1])
+        except (OSError, StopIteration, ValueError):
+            break
+    return anc
 
 
 def _acquire_axon_client_lock(wait_s=900):
@@ -411,6 +447,9 @@ def _acquire_axon_client_lock(wait_s=900):
         with open("/tmp/q_current.pid") as f:
             job_pid = int(f.read().strip())
         os.kill(job_pid, 0)  # raises if dead
+        if job_pid in _ancestor_pids():
+            log("bench: current queue job is our own ancestry; not preempting")
+            raise ValueError
         log(f"bench: preempting supervisor job pid {job_pid} (it will resume)")
         try:
             os.killpg(os.getpgid(job_pid), signal.SIGTERM)
@@ -440,8 +479,15 @@ def main():
     # explicitly requested non-axon platform is honored as-is.
     if ("axon" in os.environ.get("JAX_PLATFORMS", "axon")
             and os.environ.get("BENCH_CPU_FALLBACK") != "1"):
-        if _backend_reachable():
+        # Lock FIRST (preempting any queue job), probe SECOND: probing while
+        # another client legitimately holds the lock mis-reads "lock busy"
+        # as "backend down" (the round-5 bench_r5 CPU-fallback bug). With
+        # the lock held — acquired here or inherited from the supervisor's
+        # job wrapper — the probe subprocess is the tunnel's single client.
+        if _inherited_lock_fd() is None:
             globals()["_LOCK_FH"] = _acquire_axon_client_lock()
+        if _backend_reachable(have_lock=True):
+            pass
         else:
             log("bench: axon backend unreachable; falling back to CPU "
                 "(reduced workload, disclosed in the JSON)")
